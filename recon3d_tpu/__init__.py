@@ -1,0 +1,34 @@
+"""recon3d_tpu — a TPU-native 3D reconstruction framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+dackey-wav/3d-reconstruction-tool (reference: /root/reference/src/__init__.py:9-15):
+incremental structure-from-motion, dense multi-view stereo (plane-sweep and
+PatchMatch), classical (SIFT) and neural (SuperPoint+LightGlue) matching
+frontends, camera calibration, and PLY point-cloud I/O.
+
+Design principles (TPU-first, not a port):
+  - All hot compute is batched, statically shaped, and jitted; per-item Python
+    loops in the reference become vmapped/scanned batch axes.
+  - RANSAC = vmapped minimal solvers over hypothesis batches.
+  - Multi-chip scaling via jax.sharding.Mesh + NamedSharding over views/pairs/
+    hypotheses, collectives over ICI.
+  - Host-side runtime (PLY I/O, voxel hashing) has a native C++ fast path.
+"""
+
+from recon3d_tpu.camera import Camera, CameraPose, load_calibration
+from recon3d_tpu.config import ReconstructionConfig
+from recon3d_tpu.sfm.pipeline import SfMPipeline
+from recon3d_tpu.io.ply import load_ply, save_ply, save_cameras_ply
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Camera",
+    "CameraPose",
+    "load_calibration",
+    "ReconstructionConfig",
+    "SfMPipeline",
+    "load_ply",
+    "save_ply",
+    "save_cameras_ply",
+]

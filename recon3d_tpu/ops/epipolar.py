@@ -1,0 +1,177 @@
+"""Two-view epipolar geometry: 8-point fundamental/essential, pose recovery.
+
+Replaces cv.findFundamentalMat's internal solver (reference features.py:195,
+sfm_pipeline.py:357) and cv.recoverPose (reference geometry.py:137-162) with
+masked batched solvers. RANSAC wrapping lives in ops/ransac.py.
+
+All solvers accept a validity `mask` and are written to be vmapped over
+hypothesis batches (the mask doubles as the minimal-sample selector).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from recon3d_tpu.ops.linalg import smallest_eigvec, einsum_hp, matmul_hp
+from recon3d_tpu.ops.triangulate import triangulate_dlt
+
+
+def _normalization_transform(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Hartley normalization: similarity T so masked points have zero mean and
+    RMS distance sqrt(2). x: (..., N, 2), mask: (..., N) -> T (..., 3, 3)."""
+    w = mask[..., None]
+    count = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1.0)
+    mean = jnp.sum(x * w, axis=-2) / count
+    d = jnp.linalg.norm(x - mean[..., None, :], axis=-1)
+    mean_dist = jnp.sum(d * mask, axis=-1) / count[..., 0]
+    s = jnp.sqrt(2.0) / jnp.maximum(mean_dist, 1e-8)
+    zero = jnp.zeros_like(s)
+    one = jnp.ones_like(s)
+    T = jnp.stack(
+        [
+            jnp.stack([s, zero, -s * mean[..., 0]], axis=-1),
+            jnp.stack([zero, s, -s * mean[..., 1]], axis=-1),
+            jnp.stack([zero, zero, one], axis=-1),
+        ],
+        axis=-2,
+    )
+    return T
+
+
+def _apply_h(T: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply homography T (..., 3, 3) to inhomogeneous points (..., N, 2)."""
+    xh = einsum_hp("...ij,...nj->...ni", T[..., :2, :2], x) + T[..., None, :2, 2]
+    return xh
+
+
+def fundamental_8point(
+    x1: jnp.ndarray, x2: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Masked normalized 8-point algorithm.
+
+    x1, x2: (..., N, 2) correspondences; mask: (..., N) with >= 8 valid.
+    Returns F (..., 3, 3) with rank-2 constraint enforced, scaled so ||F||=1.
+    """
+    T1 = _normalization_transform(x1, mask)
+    T2 = _normalization_transform(x2, mask)
+    n1 = _apply_h(T1, x1)
+    n2 = _apply_h(T2, x2)
+
+    u1, v1 = n1[..., 0], n1[..., 1]
+    u2, v2 = n2[..., 0], n2[..., 1]
+    ones = jnp.ones_like(u1)
+    # Row per correspondence of [u2u1, u2v1, u2, v2u1, v2v1, v2, u1, v1, 1]
+    A = jnp.stack(
+        [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, ones], axis=-1
+    )
+    A = A * mask[..., None]
+    AtA = einsum_hp("...ni,...nj->...ij", A, A)
+    f = smallest_eigvec(AtA)
+    F = f.reshape(f.shape[:-1] + (3, 3))
+
+    # Enforce rank 2: zero smallest singular value.
+    U, S, Vt = jnp.linalg.svd(F)
+    S = S.at[..., 2].set(0.0)
+    F = matmul_hp(U * S[..., None, :], Vt)
+
+    # Denormalize: F = T2^T F_norm T1
+    F = matmul_hp(matmul_hp(jnp.swapaxes(T2, -1, -2), F), T1)
+    norm = jnp.linalg.norm(F.reshape(F.shape[:-2] + (9,)), axis=-1)
+    return F / jnp.maximum(norm, 1e-12)[..., None, None]
+
+
+def epipolar_distance(F: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric epipolar (point-to-line) distance in pixels.
+
+    F: (..., 3, 3); x1, x2: (..., N, 2). Returns (..., N).
+    """
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
+    x2h = jnp.concatenate([x2, jnp.ones_like(x2[..., :1])], axis=-1)
+    l2 = einsum_hp("...ij,...nj->...ni", F, x1h)  # epipolar lines in image 2
+    l1 = einsum_hp("...ji,...nj->...ni", F, x2h)  # lines in image 1
+    num = jnp.abs(jnp.sum(x2h * l2, axis=-1))
+    d2 = num / jnp.maximum(jnp.linalg.norm(l2[..., :2], axis=-1), 1e-12)
+    d1 = num / jnp.maximum(jnp.linalg.norm(l1[..., :2], axis=-1), 1e-12)
+    return 0.5 * (d1 + d2)
+
+
+def sampson_distance(F: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """First-order geometric (Sampson) distance, (..., N)."""
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
+    x2h = jnp.concatenate([x2, jnp.ones_like(x2[..., :1])], axis=-1)
+    Fx1 = einsum_hp("...ij,...nj->...ni", F, x1h)
+    Ftx2 = einsum_hp("...ji,...nj->...ni", F, x2h)
+    num = jnp.sum(x2h * Fx1, axis=-1) ** 2
+    den = (
+        Fx1[..., 0] ** 2 + Fx1[..., 1] ** 2 + Ftx2[..., 0] ** 2 + Ftx2[..., 1] ** 2
+    )
+    return jnp.sqrt(num / jnp.maximum(den, 1e-12))
+
+
+def essential_from_fundamental(F: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """E = K^T F K, projected to the essential manifold (sv = (1, 1, 0)).
+
+    Reference geometry.py:128-135 computes E = K^T F K only; we additionally
+    project because downstream decomposition assumes exact essential form.
+    """
+    E = matmul_hp(matmul_hp(jnp.swapaxes(K, -1, -2), F), K)
+    U, S, Vt = jnp.linalg.svd(E)
+    s = (S[..., 0] + S[..., 1]) * 0.5
+    S_proj = jnp.stack([s, s, jnp.zeros_like(s)], axis=-1)
+    return matmul_hp(U * S_proj[..., None, :], Vt)
+
+
+def decompose_essential(E: jnp.ndarray):
+    """Four (R, t) candidates from E: (R1, t), (R1, -t), (R2, t), (R2, -t).
+
+    Returns Rs (..., 4, 3, 3), ts (..., 4, 3) with unit-norm t.
+    (Reference delegates to cv.recoverPose, geometry.py:137-162.)
+    """
+    U, _, Vt = jnp.linalg.svd(E)
+    # Keep rotations proper.
+    detU = jnp.linalg.det(U)
+    detVt = jnp.linalg.det(Vt)
+    U = U * jnp.stack([jnp.ones_like(detU), jnp.ones_like(detU), detU], axis=-1)[
+        ..., None, :
+    ]
+    Vt = Vt * jnp.stack(
+        [jnp.ones_like(detVt), jnp.ones_like(detVt), detVt], axis=-1
+    )[..., :, None]
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E.dtype)
+    R1 = matmul_hp(matmul_hp(U, W), Vt)
+    R2 = matmul_hp(matmul_hp(U, W.T), Vt)
+    t = U[..., :, 2]
+    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+    Rs = jnp.stack([R1, R1, R2, R2], axis=-3)
+    ts = jnp.stack([t, -t, t, -t], axis=-2)
+    return Rs, ts
+
+
+def recover_pose(
+    E: jnp.ndarray,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    K: jnp.ndarray,
+    mask: jnp.ndarray,
+):
+    """Select the (R, t) candidate with the most points in front of both cams.
+
+    x1, x2: (N, 2) pixels; mask: (N,) valid correspondences.
+    Returns (R (3,3), t (3,), cheirality_mask (N,)) — the TPU-native
+    equivalent of cv.recoverPose's internal vote (reference geometry.py:160).
+    """
+    Rs, ts = decompose_essential(E)  # (4,3,3), (4,3)
+    P1 = matmul_hp(K, jnp.concatenate([jnp.eye(3, dtype=K.dtype), jnp.zeros((3, 1), K.dtype)], axis=1))
+    P2s = einsum_hp("ij,cjk->cik", K, jnp.concatenate([Rs, ts[..., None]], axis=-1))
+
+    def count_front(P2, R, t):
+        X = triangulate_dlt(P1, P2, x1, x2)  # (N, 3)
+        z1 = X[..., 2]
+        z2 = (einsum_hp("ij,nj->ni", R, X) + t)[..., 2]
+        front = (z1 > 1e-6) & (z2 > 1e-6) & (mask > 0)
+        return jnp.sum(front), front
+
+    counts, fronts = jax.vmap(count_front)(P2s, Rs, ts)
+    best = jnp.argmax(counts)
+    return Rs[best], ts[best], fronts[best]

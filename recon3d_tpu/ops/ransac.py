@@ -1,0 +1,128 @@
+"""Batched-hypothesis RANSAC harness.
+
+Replaces the OpenCV RANSAC black boxes (cv.findFundamentalMat FM_RANSAC,
+reference features.py:195 / sfm_pipeline.py:357; cv.solvePnPRansac,
+sfm_pipeline.py:567-584) with the TPU-idiomatic formulation: all H minimal
+samples are drawn at once, the minimal solver is vmapped over the hypothesis
+axis, residuals are one (H, N) batched evaluation, and the winner is an
+argmax over masked inlier counts. No data-dependent control flow — a fixed
+hypothesis budget replaces OpenCV's adaptive termination (chosen so success
+probability exceeds the reference's 0.999 confidence at its worst expected
+inlier ratios).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RansacResult(NamedTuple):
+    model: jnp.ndarray       # best model parameters (solver-defined shape)
+    inliers: jnp.ndarray     # (N,) bool inlier mask of the best model
+    num_inliers: jnp.ndarray  # scalar int
+    best_score: jnp.ndarray  # scalar float (MSAC score of the winner)
+
+
+def sample_masks(
+    key: jax.Array,
+    valid: jnp.ndarray,
+    num_hypotheses: int,
+    sample_size: int,
+) -> jnp.ndarray:
+    """Draw `num_hypotheses` minimal samples (without replacement) from the
+    valid entries of a padded array.
+
+    Returns a float (H, N) mask with exactly `sample_size` ones per row
+    (fewer only if fewer valid points exist). Implemented as Gumbel top-k
+    over the validity logits — one fused (H, N) computation, no host loop.
+    """
+    n = valid.shape[-1]
+    logits = jnp.where(valid > 0, 0.0, -jnp.inf)
+    g = jax.random.gumbel(key, (num_hypotheses, n)) + logits
+    _, idx = jax.lax.top_k(g, sample_size)  # (H, k)
+    masks = jnp.zeros((num_hypotheses, n), dtype=jnp.float32)
+    rows = jnp.repeat(jnp.arange(num_hypotheses), sample_size)
+    masks = masks.at[rows, idx.reshape(-1)].set(1.0)
+    # Rows with fewer than sample_size valid points keep only valid ones.
+    return masks * (valid > 0)
+
+
+def ransac(
+    key: jax.Array,
+    solver: Callable[[jnp.ndarray], jnp.ndarray],
+    residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    valid: jnp.ndarray,
+    sample_size: int,
+    num_hypotheses: int,
+    threshold: float,
+) -> RansacResult:
+    """Generic batched RANSAC.
+
+    solver(sample_mask (N,)) -> model; vmapped over H hypothesis masks.
+    residual_fn(model) -> (N,) residuals; vmapped over models.
+    valid: (N,) validity of padded data points.
+    Scoring is MSAC (truncated quadratic), which dominates plain inlier
+    counting at equal cost.
+    """
+    masks = sample_masks(key, valid, num_hypotheses, sample_size)
+    models = jax.vmap(solver)(masks)  # pytree with leading H axis
+    residuals = jax.vmap(residual_fn)(models)  # (H, N)
+
+    valid_b = valid > 0
+    inl = (residuals < threshold) & valid_b
+    # MSAC score: sum of min(r^2, thr^2) over valid points (lower is better).
+    r2 = jnp.minimum(jnp.square(residuals), threshold * threshold)
+    score = jnp.sum(jnp.where(valid_b, r2, 0.0), axis=-1)
+    counts = jnp.sum(inl, axis=-1)
+    # Primary: maximize inliers; tie-break: minimize MSAC score.
+    norm_score = score / (jnp.max(score) + 1e-12)
+    best = jnp.argmax(counts.astype(jnp.float32) - 0.5 * norm_score)
+
+    best_model = jax.tree_util.tree_map(lambda m: m[best], models)
+    return RansacResult(
+        model=best_model,
+        inliers=inl[best],
+        num_inliers=counts[best],
+        best_score=score[best],
+    )
+
+
+def ransac_with_refit(
+    key: jax.Array,
+    solver: Callable[[jnp.ndarray], jnp.ndarray],
+    residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    valid: jnp.ndarray,
+    sample_size: int,
+    num_hypotheses: int,
+    threshold: float,
+    refit_rounds: int = 2,
+) -> RansacResult:
+    """RANSAC + iterative least-squares refit on the inlier set.
+
+    Mirrors OpenCV's internal "LMedS polish": after the vote, the solver is
+    re-run with the full inlier mask (weighted), then inliers re-evaluated.
+    refit_rounds is static (unrolled) — typically 1-2.
+    """
+    res = ransac(key, solver, residual_fn, valid, sample_size, num_hypotheses, threshold)
+    model, inliers = res.model, res.inliers
+
+    for _ in range(refit_rounds):
+        w = inliers.astype(jnp.float32) * (valid > 0)
+        # Guard: keep previous model if the inlier set collapsed.
+        enough = jnp.sum(w) >= sample_size
+        new_model = solver(w)
+        model = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(enough, new, old), new_model, model
+        )
+        r = residual_fn(model)
+        inliers = (r < threshold) & (valid > 0)
+
+    return RansacResult(
+        model=model,
+        inliers=inliers,
+        num_inliers=jnp.sum(inliers),
+        best_score=res.best_score,
+    )

@@ -1,0 +1,119 @@
+"""Robust-estimation tests: RANSAC F, PnP with outliers, GN refinement."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from recon3d_tpu.ops.estimation import estimate_fundamental_ransac, estimate_pose_pnp
+from recon3d_tpu.ops.pnp import pnp_dlt, refine_pose_gn, project_points
+from recon3d_tpu.ops.ransac import sample_masks
+from tests.synthetic import make_scene, rotation_angle_deg
+
+
+def test_sample_masks_properties():
+    key = jax.random.PRNGKey(0)
+    valid = jnp.asarray(np.r_[np.ones(50), np.zeros(14)], jnp.float32)
+    masks = sample_masks(key, valid, 128, 8)
+    counts = np.asarray(masks.sum(axis=1))
+    np.testing.assert_array_equal(counts, 8)
+    # never samples invalid entries
+    assert float((masks[:, 50:]).sum()) == 0.0
+    # hypotheses are diverse
+    assert len({tuple(np.nonzero(np.asarray(m))[0]) for m in masks}) > 100
+
+
+def test_fundamental_ransac_with_outliers(rng):
+    scene = make_scene(rng, n_points=256, n_cams=2, noise_px=0.5, outlier_frac=0.3)
+    x1 = jnp.asarray(scene["obs"][0])
+    x2 = jnp.asarray(scene["obs"][1])
+    res = estimate_fundamental_ransac(
+        jax.random.PRNGKey(1), x1, x2, jnp.ones(256), threshold_px=2.0
+    )
+    inl = np.asarray(res.inliers)
+    out_mask = scene["outliers"][0] | scene["outliers"][1]
+    # all detected inliers must be true inliers (low false-positive rate)
+    assert inl[out_mask].mean() < 0.05
+    assert inl[~out_mask].mean() > 0.9
+
+
+def test_pnp_dlt_exact(rng):
+    scene = make_scene(rng, n_points=64, n_cams=2)
+    K = scene["K"]
+    Kinv = np.linalg.inv(K)
+    x = scene["obs"][1]
+    xh = np.concatenate([x, np.ones((64, 1))], axis=1) @ Kinv.T
+    R, t = pnp_dlt(
+        jnp.asarray(scene["X"]), jnp.asarray(xh[:, :2], jnp.float32), jnp.ones(64)
+    )
+    assert rotation_angle_deg(np.asarray(R), scene["Rs"][1]) < 0.2
+    np.testing.assert_allclose(np.asarray(t), scene["ts"][1], atol=5e-2)
+
+
+def test_pnp_ransac_with_outliers(rng):
+    scene = make_scene(rng, n_points=256, n_cams=2, noise_px=0.5, outlier_frac=0.4)
+    res = estimate_pose_pnp(
+        jax.random.PRNGKey(2),
+        jnp.asarray(scene["K"]),
+        jnp.asarray(scene["X"]),
+        jnp.asarray(scene["obs"][1]),
+        jnp.ones(256),
+        threshold_px=4.0,
+        num_hypotheses=1024,
+    )
+    assert rotation_angle_deg(np.asarray(res.R), scene["Rs"][1]) < 0.5
+    np.testing.assert_allclose(np.asarray(res.t), scene["ts"][1], atol=0.05)
+    inl = np.asarray(res.inliers)
+    assert inl[scene["outliers"][1]].mean() < 0.05
+    assert int(res.num_inliers) > 120
+
+
+def test_gn_refinement_improves(rng):
+    scene = make_scene(rng, n_points=128, n_cams=2, noise_px=0.2)
+    K = jnp.asarray(scene["K"])
+    X = jnp.asarray(scene["X"])
+    x = jnp.asarray(scene["obs"][1])
+    # Perturb ground truth pose
+    from recon3d_tpu.ops.lie import so3_exp
+
+    dR = so3_exp(jnp.asarray([0.02, -0.015, 0.01]))
+    R0 = dR @ jnp.asarray(scene["Rs"][1])
+    t0 = jnp.asarray(scene["ts"][1]) + jnp.asarray([0.03, -0.02, 0.04])
+
+    def mean_err(R, t):
+        pred = project_points(K, R, t, X)
+        return float(jnp.linalg.norm(pred - x, axis=1).mean())
+
+    before = mean_err(R0, t0)
+    R, t = refine_pose_gn(K, R0, t0, X, x, jnp.ones(128), iterations=10)
+    after = mean_err(R, t)
+    assert after < before * 0.2
+    assert rotation_angle_deg(np.asarray(R), scene["Rs"][1]) < 0.1
+
+
+def test_pnp_vs_opencv(rng):
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    scene = make_scene(rng, n_points=128, n_cams=2, noise_px=0.5)
+    ok, rvec, tvec, inl = cv2.solvePnPRansac(
+        scene["X"].astype(np.float64),
+        scene["obs"][1].astype(np.float64).reshape(-1, 1, 2),
+        scene["K"].astype(np.float64),
+        np.zeros(5),
+        flags=cv2.SOLVEPNP_ITERATIVE,
+        reprojectionError=4.0,
+        iterationsCount=500,
+    )
+    R_cv, _ = cv2.Rodrigues(rvec)
+    res = estimate_pose_pnp(
+        jax.random.PRNGKey(3),
+        jnp.asarray(scene["K"]),
+        jnp.asarray(scene["X"]),
+        jnp.asarray(scene["obs"][1]),
+        jnp.ones(128),
+        threshold_px=4.0,
+        num_hypotheses=1024,
+    )
+    # both should be near ground truth, hence near each other
+    assert rotation_angle_deg(np.asarray(res.R), R_cv) < 1.0
+    np.testing.assert_allclose(np.asarray(res.t), tvec.ravel(), atol=0.1)
