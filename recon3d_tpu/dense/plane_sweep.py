@@ -1,0 +1,288 @@
+"""Plane-sweep multi-view stereo, TPU-native.
+
+Capability parity with reference src/core/dense_stereo.py
+(DenseStereoReconstructor :26-505): per reference view, sweep D fronto-
+parallel inverse-depth planes, score each with NCC against K neighbor
+views, count cross-view consistency, argmax over planes, back-project.
+
+Redesign for TPU (not a port of the torch loops):
+  - the reference's per-plane × per-neighbor Python loop (dense_stereo.py:
+    265-304, 384 grid_sample calls/view) becomes ONE jitted scan over the
+    plane axis with the neighbor axis vmapped — a single fused XLA program;
+  - warps are plane-induced homographies evaluated in closed form (no
+    per-plane meshgrid rebuild);
+  - NCC windows use O(1) integral-image box sums (ops/image.box_filter)
+    instead of ones-kernel conv2d;
+  - per-view jobs are the multi-chip sharding axis (dense/distributed.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from recon3d_tpu.camera import Camera
+from recon3d_tpu.config import PlaneSweepConfig
+from recon3d_tpu.ops.image import bilinear_sample, box_filter, resize, rgb_to_gray
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _relative_pose(R_ref, t_ref, R_src, t_src):
+    """(R, t) of src relative to ref: x_src = R x_ref + t."""
+    R = jnp.matmul(R_src, R_ref.T, precision=_HI)
+    t = t_src - jnp.einsum("ij,j->i", R, t_ref, precision=_HI)
+    return R, t
+
+
+def plane_homography(K, R_rel, t_rel, inv_depth):
+    """Homography ref->src for the fronto-parallel plane z = 1/inv_depth
+    (in the ref camera frame): H = K (R + t n^T * inv_depth) K^-1, n=e_z."""
+    n = jnp.array([0.0, 0.0, 1.0], K.dtype)
+    M = R_rel + jnp.outer(t_rel, n) * inv_depth
+    Kinv = jnp.linalg.inv(K)
+    return jnp.matmul(jnp.matmul(K, M, precision=_HI), Kinv, precision=_HI)
+
+
+def _warp_by_homography(img, H, grid_h):
+    """Sample img at H @ grid for all pixels. grid_h: (Ht, Wt, 3) homogeneous."""
+    g = jnp.einsum("ij,hwj->hwi", H, grid_h, precision=_HI)
+    z = g[..., 2]
+    z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    coords = g[..., :2] / z[..., None]
+    samp, ok = bilinear_sample(img, coords)
+    return samp, ok & (z > 0)
+
+
+def _ncc(ref, src, ok, patch: int):
+    """Windowed NCC between ref and warped src, invalid where warp failed."""
+    w = ok.astype(ref.dtype)
+    # masked means: normalize by valid count in window
+    cnt = box_filter(w, patch) + 1e-6
+    mr = box_filter(ref * w, patch) / cnt
+    ms = box_filter(src * w, patch) / cnt
+    mrs = box_filter(ref * src * w, patch) / cnt
+    mrr = box_filter(ref * ref * w, patch) / cnt
+    mss = box_filter(src * src * w, patch) / cnt
+    cov = mrs - mr * ms
+    var_r = jnp.maximum(mrr - mr * mr, 1e-8)
+    var_s = jnp.maximum(mss - ms * ms, 1e-8)
+    ncc = cov / jnp.sqrt(var_r * var_s)
+    return jnp.where(ok, jnp.clip(ncc, -1.0, 1.0), -1.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_depths", "patch", "min_views")
+)
+def sweep_depth_map(
+    ref_gray: jnp.ndarray,          # (H, W)
+    src_grays: jnp.ndarray,         # (J, H, W)
+    K: jnp.ndarray,                 # (3, 3) at working scale
+    R_ref: jnp.ndarray,
+    t_ref: jnp.ndarray,
+    R_srcs: jnp.ndarray,            # (J, 3, 3)
+    t_srcs: jnp.ndarray,            # (J, 3)
+    depth_range: jnp.ndarray,       # (2,) = (dmin, dmax)
+    num_depths: int = 64,
+    patch: int = 5,
+    ncc_threshold: float = 0.8,
+    min_views: int = 3,
+):
+    """One reference-view plane sweep. Returns (depth (H,W), consistency
+    count (H,W), mean-NCC (H,W)). The (D planes x J sources) work is one
+    scan(vmap(...)) — fully fused on device."""
+    H, W = ref_gray.shape
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=ref_gray.dtype), jnp.arange(W, dtype=ref_gray.dtype),
+        indexing="ij",
+    )
+    grid_h = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # (H, W, 3)
+
+    Rrel = jax.vmap(lambda R, t: _relative_pose(R_ref, t_ref, R, t)[0])(R_srcs, t_srcs)
+    trel = jax.vmap(lambda R, t: _relative_pose(R_ref, t_ref, R, t)[1])(R_srcs, t_srcs)
+
+    inv_depths = jnp.linspace(1.0 / depth_range[1], 1.0 / depth_range[0], num_depths)
+
+    def plane_score(carry, inv_d):
+        def one_src(src, Rr, tr):
+            Hm = plane_homography(K, Rr, tr, inv_d)
+            warped, ok = _warp_by_homography(src, Hm, grid_h)
+            return _ncc(ref_gray, warped, ok, patch)
+
+        nccs = jax.vmap(one_src)(src_grays, Rrel, trel)  # (J, H, W)
+        count = jnp.sum(nccs > ncc_threshold, axis=0)
+        mean_ncc = jnp.mean(jnp.maximum(nccs, 0.0), axis=0)
+        score = count.astype(ref_gray.dtype) + 0.5 * mean_ncc  # tie-break
+        best_score, best_inv, best_cnt, best_ncc = carry
+        better = score > best_score
+        carry = (
+            jnp.where(better, score, best_score),
+            jnp.where(better, inv_d, best_inv),
+            jnp.where(better, count, best_cnt),
+            jnp.where(better, mean_ncc, best_ncc),
+        )
+        return carry, None
+
+    init = (
+        jnp.full((H, W), -jnp.inf, ref_gray.dtype),
+        jnp.full((H, W), inv_depths[0], ref_gray.dtype),
+        jnp.zeros((H, W), jnp.int32),
+        jnp.zeros((H, W), ref_gray.dtype),
+    )
+    (best_score, best_inv, best_cnt, best_ncc), _ = jax.lax.scan(
+        plane_score, init, inv_depths
+    )
+    depth = 1.0 / best_inv
+    return depth, best_cnt, best_ncc
+
+
+def backproject_depth(
+    depth: jnp.ndarray, K: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
+    valid: jnp.ndarray,
+):
+    """Depth map -> world points (H*W, 3) + mask (reference dense_stereo.py
+    :407-437). Invalid pixels produce zeros with mask False."""
+    H, W = depth.shape
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=depth.dtype), jnp.arange(W, dtype=depth.dtype),
+        indexing="ij",
+    )
+    x = (xs - K[0, 2]) / K[0, 0] * depth
+    y = (ys - K[1, 2]) / K[1, 1] * depth
+    Xc = jnp.stack([x, y, depth], axis=-1).reshape(-1, 3)
+    Xw = jnp.einsum("ji,nj->ni", R, Xc - t[None, :], precision=_HI)
+    return Xw, valid.reshape(-1)
+
+
+def depth_range_from_poses(Rs: np.ndarray, ts: np.ndarray) -> Tuple[float, float]:
+    """Depth bounds from the camera-center spread (reference :86-92)."""
+    C = np.stack([-R.T @ t for R, t in zip(Rs, ts)])
+    spread = np.linalg.norm(C - C.mean(0), axis=1).max() * 2 + 1e-6
+    return 0.5 * spread, 20.0 * spread
+
+
+def depth_range_from_sparse(
+    points: np.ndarray, R: np.ndarray, t: np.ndarray
+) -> Optional[Tuple[float, float]]:
+    """1st/99th percentile of sparse depths x1.5 margin (reference
+    mvs_patchmatch.py:141-165)."""
+    if len(points) < 20:
+        return None
+    z = (points @ R.T + t)[:, 2]
+    z = z[z > 1e-6]
+    if len(z) < 20:
+        return None
+    lo, hi = np.percentile(z, [1, 99])
+    return float(max(lo / 1.5, 1e-3)), float(hi * 1.5)
+
+
+class PlaneSweepReconstructor:
+    """Dense reconstruction via plane sweep (reference DenseStereoReconstructor).
+
+    reconstruct(images, poses, ...) -> (points (N,3), colors (N,3) uint8).
+    `images` is (V, H, W, 3) float32 [0,1] at full scale; `poses` a dict
+    {idx: (R, t)} of registered cameras (numpy).
+    """
+
+    def __init__(self, camera: Camera, config: Optional[PlaneSweepConfig] = None):
+        self.camera = camera
+        self.config = config or PlaneSweepConfig()
+
+    def _neighbors(self, ids: List[int], poses, k: int) -> Dict[int, List[int]]:
+        C = {i: -poses[i][0].T @ poses[i][1] for i in ids}
+        out = {}
+        for i in ids:
+            d = sorted(
+                ((np.linalg.norm(C[i] - C[j]), j) for j in ids if j != i)
+            )
+            out[i] = [j for _, j in d[:k]]
+        return out
+
+    def reconstruct(
+        self,
+        images: np.ndarray,
+        poses: Dict[int, Tuple[np.ndarray, np.ndarray]],
+        sparse_points: Optional[np.ndarray] = None,
+        max_ref_views: Optional[int] = None,
+    ):
+        cfg = self.config
+        t0 = time.time()
+        ids = sorted(poses.keys())
+        V = len(ids)
+        if V < 2:
+            return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
+
+        scale = cfg.scale
+        Hs = int(images.shape[1] * scale)
+        Ws = int(images.shape[2] * scale)
+        K = np.asarray(self.camera.scaled(scale).K)
+
+        small = np.asarray(
+            jax.jit(jax.vmap(lambda im: resize(im, (Hs, Ws))))(
+                jnp.asarray(images[ids])
+            )
+        )
+        grays = np.asarray(jax.jit(jax.vmap(rgb_to_gray))(jnp.asarray(small)))
+        id_row = {i: r for r, i in enumerate(ids)}
+
+        Rs = np.stack([poses[i][0] for i in ids])
+        ts = np.stack([poses[i][1] for i in ids])
+        dr = depth_range_from_poses(Rs, ts)
+        if sparse_points is not None:
+            dr2 = depth_range_from_sparse(sparse_points, Rs[0], ts[0])
+            if dr2:
+                dr = dr2
+
+        max_refs = max_ref_views or cfg.max_ref_views
+        step = max(1, V // max_refs)
+        ref_ids = ids[::step]
+        neighbors = self._neighbors(ids, poses, cfg.num_neighbors)
+
+        all_pts, all_cols = [], []
+        for i in ref_ids:
+            nb = neighbors[i]
+            if len(nb) < 1:
+                continue
+            depth, cnt, ncc = sweep_depth_map(
+                jnp.asarray(grays[id_row[i]]),
+                jnp.asarray(grays[[id_row[j] for j in nb]]),
+                jnp.asarray(K, jnp.float32),
+                jnp.asarray(poses[i][0]),
+                jnp.asarray(poses[i][1]),
+                jnp.asarray(np.stack([poses[j][0] for j in nb])),
+                jnp.asarray(np.stack([poses[j][1] for j in nb])),
+                jnp.asarray(dr, jnp.float32),
+                num_depths=cfg.num_depths,
+                patch=cfg.patch_size,
+                ncc_threshold=cfg.ncc_threshold,
+                min_views=cfg.min_views,
+            )
+            valid = cnt >= min(cfg.min_views, len(nb))
+            pts, mask = backproject_depth(
+                depth, jnp.asarray(K, jnp.float32),
+                jnp.asarray(poses[i][0]), jnp.asarray(poses[i][1]), valid,
+            )
+            mask_np = np.asarray(mask)
+            pts_np = np.asarray(pts)[mask_np]
+            cols_np = (small[id_row[i]].reshape(-1, 3)[mask_np] * 255).astype(np.uint8)
+            all_pts.append(pts_np)
+            all_cols.append(cols_np)
+
+        if not all_pts:
+            return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
+        points = np.concatenate(all_pts)
+        colors = np.concatenate(all_cols)
+
+        from recon3d_tpu.dense.filters import radius_outlier_filter, voxel_downsample
+
+        points, colors = radius_outlier_filter(points, colors)
+        points, colors = voxel_downsample(points, colors, cfg.voxel_size)
+        print(f"[plane-sweep] {len(points)} points from {len(ref_ids)} ref views "
+              f"({time.time() - t0:.1f}s)")
+        return points, colors

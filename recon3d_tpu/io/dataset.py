@@ -1,0 +1,144 @@
+"""Image-set loading with undistort-at-load semantics.
+
+Reference parity: SfMPipeline.load_images (sfm_pipeline.py:87-124) reads a
+directory of images sorted by name, resizes so the long side <= max size,
+undistorts with the calibration, and rescales K accordingly. Here loading is
+host-side (PIL), while resize/undistort run as one jitted device kernel per
+image; all images are padded to one common static shape so every downstream
+stage is shape-static (XLA requirement, SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from recon3d_tpu.camera import Camera
+from recon3d_tpu.ops.image import rgb_to_gray, undistort_image
+
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff", ".webp")
+
+
+@dataclass
+class ImageSet:
+    """A loaded multi-view image set.
+
+    gray:   (V, H, W) float32 in [0, 1] — undistorted.
+    color:  (V, H, W, 3) float32 in [0, 1] — undistorted.
+    camera: shared Camera with K scaled to the working resolution
+            (distortion already applied to pixels; downstream treats images
+            as pure pinhole, reference sfm_pipeline.py:114-124).
+    names:  original file names.
+    sizes:  (V, 2) actual (h, w) of each image inside the padded canvas.
+    """
+
+    gray: np.ndarray
+    color: np.ndarray
+    camera: Camera
+    names: List[str]
+    sizes: np.ndarray
+    scale: float = 1.0
+
+
+def list_images(image_dir: str) -> List[str]:
+    files = sorted(
+        f
+        for f in os.listdir(image_dir)
+        if f.lower().endswith(IMAGE_EXTS)
+    )
+    return files
+
+
+def _round_to(v: int, m: int) -> int:
+    return max(m, int(np.ceil(v / m) * m))
+
+
+def load_image_set(
+    image_dir: str,
+    camera: Optional[Camera] = None,
+    max_size: int = 1600,
+    max_images: Optional[int] = None,
+    pad_multiple: int = 16,
+) -> ImageSet:
+    """Load, resize, undistort a directory of images into padded arrays."""
+    from PIL import Image
+
+    files = list_images(image_dir)
+    if max_images:
+        files = files[:max_images]
+    if not files:
+        raise FileNotFoundError(f"no images in {image_dir}")
+
+    raw: List[np.ndarray] = []
+    for f in files:
+        im = Image.open(os.path.join(image_dir, f)).convert("RGB")
+        w, h = im.size
+        scale = min(1.0, max_size / max(w, h))
+        if scale < 1.0:
+            im = im.resize((int(round(w * scale)), int(round(h * scale))), Image.BILINEAR)
+        raw.append(np.asarray(im, dtype=np.float32) / 255.0)
+
+    # One padded canvas for the whole set (images in a scene share a camera,
+    # so shapes are normally identical; padding covers stragglers).
+    H = _round_to(max(r.shape[0] for r in raw), pad_multiple)
+    W = _round_to(max(r.shape[1] for r in raw), pad_multiple)
+
+    color = np.zeros((len(raw), H, W, 3), np.float32)
+    sizes = np.zeros((len(raw), 2), np.int32)
+    for i, r in enumerate(raw):
+        color[i, : r.shape[0], : r.shape[1]] = r
+        sizes[i] = (r.shape[0], r.shape[1])
+
+    # Scale K by the applied resize factor (reference sfm_pipeline.py:116-124).
+    first_scale = min(1.0, max_size / max(raw[0].shape[1] / 1.0, raw[0].shape[0]))
+    if camera is None:
+        # Default intrinsics: f = 1.2 * max dim, principal point at center
+        # (reference's no-calibration fallback, sfm_pipeline.py:76-85).
+        f = 1.2 * max(H, W)
+        camera = Camera.create(fx=f, fy=f, cx=W / 2.0, cy=H / 2.0)
+        scale_applied = 1.0
+    else:
+        scale_applied = min(
+            1.0, max_size / max(int(raw[0].shape[1] / 1.0), int(raw[0].shape[0]))
+        )
+        camera = camera.scaled(first_scale) if first_scale < 1.0 else camera
+
+    color_j = jnp.asarray(color)
+    has_dist = bool(np.any(np.abs(np.asarray(camera.dist)) > 1e-12))
+    if has_dist:
+        undist = jax.jit(jax.vmap(lambda im: undistort_image(im, camera.K, camera.dist)))
+        color_j = undist(color_j)
+        camera = Camera(K=camera.K, dist=jnp.zeros_like(camera.dist))
+
+    gray_j = jax.jit(jax.vmap(rgb_to_gray))(color_j)
+
+    return ImageSet(
+        gray=np.asarray(gray_j),
+        color=np.asarray(color_j),
+        camera=camera,
+        names=files,
+        sizes=sizes,
+        scale=first_scale,
+    )
+
+
+def image_set_from_arrays(
+    images: np.ndarray, camera: Camera, names: Optional[List[str]] = None
+) -> ImageSet:
+    """Wrap pre-loaded (V, H, W, 3) float arrays (synthetic scenes, tests)."""
+    images = np.asarray(images, np.float32)
+    V, H, W = images.shape[:3]
+    gray = np.asarray(jax.jit(jax.vmap(rgb_to_gray))(jnp.asarray(images)))
+    return ImageSet(
+        gray=gray,
+        color=images,
+        camera=camera,
+        names=names or [f"synthetic_{i:04d}" for i in range(V)],
+        sizes=np.tile([H, W], (V, 1)).astype(np.int32),
+    )

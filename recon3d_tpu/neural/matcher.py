@@ -1,0 +1,164 @@
+"""NeuralMatcher: SuperPoint extraction + LightGlue matching, SfM-facing API.
+
+Parity with reference src/core/neural_matcher.py (NeuralMatcher :32-205):
+`extract(image) -> NeuralFeatures` and `match_pair_geometric(f1, f2, key)`
+with the same contract as the classical FeatureMatcher (matches + F-RANSAC),
+so SfMPipeline swaps frontends transparently (reference sfm_pipeline.py:41-50).
+
+Weights: pass checkpoint paths via NeuralConfig (torch .pth files are
+converted on load, recon3d_tpu.neural.weights). Without weights the models
+run random-initialized — useful for pipeline/sharding tests; matching
+quality then obviously carries no meaning (this environment has no egress
+to download the published checkpoints).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from recon3d_tpu.config import NeuralConfig, MatchConfig
+from recon3d_tpu.neural.superpoint import (
+    SuperPointNet,
+    scores_from_logits,
+    detect_keypoints,
+    NeuralFeatures,
+)
+from recon3d_tpu.neural.lightglue import (
+    LightGlueNet,
+    normalize_keypoints,
+    extract_matches,
+)
+from recon3d_tpu.ops.match import MatchResult
+from recon3d_tpu.ops.estimation import estimate_fundamental_ransac
+
+
+class NeuralMatcher:
+    def __init__(self, config: Optional[NeuralConfig] = None,
+                 match_config: Optional[MatchConfig] = None):
+        self.config = config or NeuralConfig()
+        self.match_config = match_config or MatchConfig()
+        self.sp = SuperPointNet(descriptor_dim=self.config.descriptor_dim)
+        self.lg = LightGlueNet(
+            dim=self.config.descriptor_dim,
+            num_layers=self.config.lightglue_layers,
+        )
+        self._sp_params = None
+        self._lg_params = None
+        self._extract_jit: Dict[Tuple[int, int], callable] = {}
+        self._match_jit: Dict[Tuple[int, int], callable] = {}
+
+    # -- parameters ---------------------------------------------------------
+
+    def _ensure_params(self, hw: Tuple[int, int]):
+        if self._sp_params is not None:
+            return
+        key = jax.random.PRNGKey(0)
+        h = (hw[0] // 8) * 8
+        w = (hw[1] // 8) * 8
+        dummy = jnp.zeros((1, max(h, 64), max(w, 64), 1), jnp.float32)
+        self._sp_params = self.sp.init(key, dummy)
+        k = self.config.max_keypoints
+        d = self.config.descriptor_dim
+        self._lg_params = self.lg.init(
+            key,
+            jnp.zeros((k, d)),
+            jnp.zeros((k, d)),
+            jnp.zeros((k, 2)),
+            jnp.zeros((k, 2)),
+            jnp.ones(k, bool),
+            jnp.ones(k, bool),
+        )
+        if self.config.superpoint_weights:
+            from recon3d_tpu.neural.weights import load_superpoint_torch
+
+            self._sp_params = load_superpoint_torch(
+                self.config.superpoint_weights, self._sp_params
+            )
+        if self.config.lightglue_weights:
+            from recon3d_tpu.neural.weights import load_lightglue_torch
+
+            self._lg_params = load_lightglue_torch(
+                self.config.lightglue_weights, self._lg_params
+            )
+
+    # -- extraction (reference neural_matcher.py:67-99) ----------------------
+
+    def extract(self, image: np.ndarray) -> NeuralFeatures:
+        """image: (H, W) grayscale float32 [0, 1] -> padded NeuralFeatures."""
+        img = jnp.asarray(image, jnp.float32)
+        hw = img.shape
+        self._ensure_params(hw)
+        if hw not in self._extract_jit:
+            cfg = self.config
+            sp = self.sp
+
+            def fn(params, img):
+                h8 = (img.shape[0] // 8) * 8
+                w8 = (img.shape[1] // 8) * 8
+                x = img[:h8, :w8][None, ..., None]
+                logits, desc = sp.apply(params, x)
+                scores = scores_from_logits(logits)[0]
+                return detect_keypoints(
+                    scores,
+                    desc[0],
+                    max_keypoints=cfg.max_keypoints,
+                    detection_threshold=cfg.detection_threshold,
+                    nms_radius=cfg.nms_radius,
+                )
+
+            self._extract_jit[hw] = jax.jit(fn)
+        return self._extract_jit[hw](self._sp_params, img)
+
+    # -- matching (reference neural_matcher.py:101-205) -----------------------
+
+    def match(self, f1: NeuralFeatures, f2: NeuralFeatures,
+              hw: Optional[Tuple[int, int]] = None) -> MatchResult:
+        self._ensure_params(hw or (1024, 1024))
+        k = int(f1.xy.shape[0])
+        sig = (k, int(f2.xy.shape[0]))
+        if sig not in self._match_jit:
+            lg = self.lg
+
+            def fn(params, f1: NeuralFeatures, f2: NeuralFeatures, hw):
+                xy0n = normalize_keypoints(f1.xy, hw)
+                xy1n = normalize_keypoints(f2.xy, hw)
+                log_assign, m0, m1 = lg.apply(
+                    params, f1.desc, f2.desc, xy0n, xy1n, f1.valid, f2.valid
+                )
+                mres = extract_matches(log_assign, f1.valid, f2.valid)
+                return mres
+
+            self._match_jit[sig] = jax.jit(fn)
+        hw_arr = jnp.asarray(hw or (1024, 1024), jnp.float32)
+        m = self._match_jit[sig](self._lg_params, f1, f2, hw_arr)
+        return MatchResult(
+            idx1=jnp.arange(k, dtype=jnp.int32),
+            idx2=m.idx2,
+            distance=1.0 - m.score,
+            mask=m.mask,
+        )
+
+    def match_pair_geometric(self, f1: NeuralFeatures, f2: NeuralFeatures,
+                             key: jax.Array, min_matches: Optional[int] = None):
+        """LightGlue matches + fundamental RANSAC (neural_matcher.py:149-205)."""
+        min_matches = min_matches or self.match_config.min_matches
+        m = self.match(f1, f2)
+        x1 = jnp.where(m.mask[:, None], f1.xy, 0.0)
+        x2 = jnp.where(m.mask[:, None], f2.xy[jnp.clip(m.idx2, 0, None)], 0.0)
+        res = estimate_fundamental_ransac(
+            key,
+            x1,
+            x2,
+            m.mask.astype(jnp.float32),
+            threshold_px=self.match_config.ransac_threshold_px,
+            num_hypotheses=self.match_config.ransac_hypotheses,
+        )
+        enough = int(m.num_matches) >= min_matches
+        inlier_mask = res.inliers & m.mask if enough else jnp.zeros_like(m.mask)
+        out = MatchResult(idx1=m.idx1, idx2=m.idx2, distance=m.distance, mask=inlier_mask)
+        return out, res.F, (int(res.num_inliers) if enough else 0)

@@ -1,0 +1,100 @@
+"""Brute-force descriptor matching with ratio test + mutual cross-check.
+
+Replaces cv.FlannBasedMatcher's KD-tree ANN (reference features.py:107-171).
+On TPU, the idiomatic formulation is exact: one (N, M) distance matrix via a
+descriptor matmul on the MXU, top-2 per row for Lowe's ratio test, and a
+mutual-argmin mask for the cross-check. Exact matching is *better* than
+FLANN's approximate search at the same or lower cost on this hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class MatchResult(NamedTuple):
+    """Padded pairwise matches.
+
+    idx1, idx2: (N,) — for each keypoint in image 1, the matched keypoint in
+                image 2 (or -1). `mask` marks surviving matches; `distance`
+                is the L2 descriptor distance.
+    """
+
+    idx1: jnp.ndarray
+    idx2: jnp.ndarray
+    distance: jnp.ndarray
+    mask: jnp.ndarray
+
+    @property
+    def num_matches(self):
+        return jnp.sum(self.mask)
+
+
+@functools.partial(jax.jit, static_argnames=("cross_check",))
+def match_descriptors(
+    d1: jnp.ndarray,
+    d2: jnp.ndarray,
+    valid1: jnp.ndarray,
+    valid2: jnp.ndarray,
+    ratio: float = 0.75,
+    cross_check: bool = True,
+) -> MatchResult:
+    """d1: (N, D), d2: (M, D) with validity masks. Returns MatchResult.
+
+    Squared L2 distances computed as ||a||^2 + ||b||^2 - 2ab with the cross
+    term on the MXU; invalid rows/cols are pushed to +inf.
+    """
+    n1 = jnp.sum(d1 * d1, axis=-1)
+    n2 = jnp.sum(d2 * d2, axis=-1)
+    cross = jnp.matmul(d1, d2.T, precision=_HI)
+    d2sq = n1[:, None] + n2[None, :] - 2.0 * cross
+    d2sq = jnp.maximum(d2sq, 0.0)
+
+    big = jnp.inf
+    d2sq = jnp.where(valid2[None, :] > 0, d2sq, big)
+    d2sq = jnp.where(valid1[:, None] > 0, d2sq, big)
+
+    # top-2 smallest along axis 1 (negate for top_k)
+    neg = -d2sq
+    vals, idx = jax.lax.top_k(neg, 2)  # (N, 2)
+    best = -vals[:, 0]
+    second = -vals[:, 1]
+    nn = idx[:, 0]
+
+    # Lowe ratio on true (non-squared) distances: d1 < ratio * d2
+    ratio_ok = best < (ratio * ratio) * second
+
+    ok = ratio_ok & (valid1 > 0) & jnp.isfinite(best)
+
+    if cross_check:
+        # mutual nearest: argmin over rows for each column
+        back = jnp.argmin(d2sq, axis=0)  # (M,)
+        mutual = back[nn] == jnp.arange(d1.shape[0])
+        ok = ok & mutual
+
+    idx1 = jnp.arange(d1.shape[0], dtype=jnp.int32)
+    idx2 = jnp.where(ok, nn.astype(jnp.int32), -1)
+    return MatchResult(
+        idx1=idx1,
+        idx2=idx2,
+        distance=jnp.sqrt(jnp.where(jnp.isfinite(best), best, 0.0)),
+        mask=ok,
+    )
+
+
+def gather_matched_points(
+    xy1: jnp.ndarray, xy2: jnp.ndarray, match: MatchResult
+):
+    """Matched coordinate arrays (N, 2), (N, 2) with invalid rows zeroed.
+
+    Keeps the padded shape — downstream RANSAC consumes the mask.
+    """
+    x1 = jnp.where(match.mask[:, None], xy1, 0.0)
+    x2 = jnp.where(match.mask[:, None], xy2[jnp.clip(match.idx2, 0, None)], 0.0)
+    return x1, x2

@@ -1,0 +1,95 @@
+"""ctypes loader for the native C++ host runtime (librecon3d_native.so).
+
+The reference delegates host-side point-cloud work to compiled libraries
+(scipy cKDTree dense.py:261, sklearn dense_stereo.py:446, OpenCV C++
+everywhere). This framework's equivalents live in native/ (C++17, built
+with `make -C native`): grid-hash voxel downsampling, k-NN mean distances,
+and binary PLY encode/decode. Every entry point has a pure-numpy fallback
+in the callers, so the framework works without the .so.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cand in (
+        os.path.join(here, "..", "native", "librecon3d_native.so"),
+        os.path.join(here, "native", "librecon3d_native.so"),
+    ):
+        cand = os.path.abspath(cand)
+        if os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+            except OSError:
+                continue
+            lib.voxel_downsample.restype = ctypes.c_longlong
+            lib.voxel_downsample.argtypes = [
+                ctypes.POINTER(ctypes.c_float),  # points
+                ctypes.c_longlong,               # n
+                ctypes.c_float,                  # voxel size
+                ctypes.POINTER(ctypes.c_longlong),  # out indices
+            ]
+            lib.knn_mean_dist.restype = ctypes.c_int
+            lib.knn_mean_dist.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_longlong,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            _LIB = lib
+            break
+    return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def native_voxel_downsample(points: np.ndarray, voxel: float) -> Optional[np.ndarray]:
+    """Returns sorted kept indices, or None if the library is unavailable."""
+    lib = _load()
+    if lib is None or len(points) == 0:
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    out = np.empty(len(pts), np.int64)
+    n = lib.voxel_downsample(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_longlong(len(pts)),
+        ctypes.c_float(voxel),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+    )
+    if n < 0:
+        return None
+    return np.sort(out[:n])
+
+
+def native_knn_mean_dist(points: np.ndarray, k: int) -> Optional[np.ndarray]:
+    """Mean distance to the k nearest neighbors per point, or None."""
+    lib = _load()
+    if lib is None or len(points) == 0:
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    out = np.empty(len(pts), np.float32)
+    rc = lib.knn_mean_dist(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_longlong(len(pts)),
+        ctypes.c_int(k),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        return None
+    return out

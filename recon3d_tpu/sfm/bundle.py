@@ -1,0 +1,285 @@
+"""Sparse bundle adjustment: matrix-free Levenberg-Marquardt with CG.
+
+The reference has no true BA — its "bundle_adjustment_light" re-solves each
+camera with PnP, never moving points (sfm_pipeline.py:694-776). This module
+is the real thing (SURVEY.md §7 step 6), designed for TPU:
+
+  - residuals over the whole observation table in one vmapped evaluation,
+  - J v and J^T u as jvp/vjp of that evaluation (never materializing J),
+  - Jacobi (block-diagonal) preconditioned conjugate gradients on the
+    damped normal equations ("Bundle Adjustment in the Large" recipe, but
+    with XLA autodiff providing the Jacobian blocks),
+  - Huber robustification via IRLS weights,
+  - cameras parameterized as se(3) increments on the linearization point,
+  - gauge fixed by freezing camera 0 (and the scale by damping).
+
+Everything is fixed-shape: observations padded to capacity with weights.
+Exposes full BA and motion-only mode (points frozen — parity with the
+reference's behavior).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from recon3d_tpu.config import BundleConfig
+from recon3d_tpu.ops.lie import se3_exp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class BAData(NamedTuple):
+    K: jnp.ndarray        # (3, 3)
+    R0: jnp.ndarray       # (C, 3, 3) linearization poses
+    t0: jnp.ndarray       # (C, 3)
+    X0: jnp.ndarray       # (P, 3) linearization points
+    obs_cam: jnp.ndarray  # (O,) int32
+    obs_pt: jnp.ndarray   # (O,) int32
+    obs_xy: jnp.ndarray   # (O, 2)
+    obs_w: jnp.ndarray    # (O,) 0/1 validity
+
+
+class BAParams(NamedTuple):
+    xi: jnp.ndarray       # (C, 6) se3 increments
+    dX: jnp.ndarray       # (P, 3) point increments
+
+
+def _apply_increment(xi, R0, t0):
+    dR, dt = se3_exp(xi)
+    R = jnp.matmul(dR, R0, precision=_HI)
+    t = jnp.einsum("cij,cj->ci", dR, t0, precision=_HI) + dt
+    return R, t
+
+
+def _residuals(params: BAParams, data: BAData, robust_w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted residual vector (O*2,)."""
+    R, t = _apply_increment(params.xi, data.R0, data.t0)
+    X = data.X0 + params.dX
+    Rg = jnp.take(R, data.obs_cam, axis=0)
+    tg = jnp.take(t, data.obs_cam, axis=0)
+    Xg = jnp.take(X, data.obs_pt, axis=0)
+    Xc = jnp.einsum("oij,oj->oi", Rg, Xg, precision=_HI) + tg
+    z = Xc[:, 2:3]
+    z = jnp.where(jnp.abs(z) < 1e-6, jnp.where(z < 0, -1e-6, 1e-6), z)
+    uv = Xc[:, :2] / z
+    K = data.K
+    u = K[0, 0] * uv[:, 0] + K[0, 1] * uv[:, 1] + K[0, 2]
+    v = K[1, 1] * uv[:, 1] + K[1, 2]
+    r = jnp.stack([u, v], axis=1) - data.obs_xy
+    w = (data.obs_w * robust_w)[:, None]
+    return (r * w).reshape(-1)
+
+
+def _robust_weights(params: BAParams, data: BAData, delta: float) -> jnp.ndarray:
+    """IRLS Huber weights sqrt(w(||r||)) from the current residuals."""
+    r = _residuals(params, data, jnp.ones_like(data.obs_w)).reshape(-1, 2)
+    n = jnp.linalg.norm(r, axis=1)
+    w = jnp.where(n <= delta, 1.0, delta / jnp.maximum(n, 1e-12))
+    return jnp.sqrt(w)
+
+
+def _flatten(p: BAParams) -> jnp.ndarray:
+    return jnp.concatenate([p.xi.reshape(-1), p.dX.reshape(-1)])
+
+
+def _unflatten(v: jnp.ndarray, C: int, P: int) -> BAParams:
+    return BAParams(xi=v[: C * 6].reshape(C, 6), dX=v[C * 6 :].reshape(P, 3))
+
+
+def _per_obs_jac_diag(params, data, robust_w, free_mask_cam, free_mask_pt):
+    """diag(J^T J) via per-observation Jacobian blocks + segment sums."""
+
+    def obs_res(xi_c, dX_p, Rc0, tc0, Xp0, xy, w):
+        dR, dt = se3_exp(xi_c)
+        R = jnp.matmul(dR, Rc0, precision=_HI)
+        t = jnp.einsum("ij,j->i", dR, tc0, precision=_HI) + dt
+        X = Xp0 + dX_p
+        Xc = jnp.einsum("ij,j->i", R, X, precision=_HI) + t
+        z = jnp.where(jnp.abs(Xc[2]) < 1e-6, 1e-6, Xc[2])
+        uv = Xc[:2] / z
+        K = data.K
+        u = K[0, 0] * uv[0] + K[0, 1] * uv[1] + K[0, 2]
+        v = K[1, 1] * uv[1] + K[1, 2]
+        return (jnp.stack([u, v]) - xy) * w
+
+    jac = jax.vmap(jax.jacfwd(obs_res, argnums=(0, 1)))(
+        jnp.take(params.xi, data.obs_cam, axis=0),
+        jnp.take(params.dX, data.obs_pt, axis=0),
+        jnp.take(data.R0, data.obs_cam, axis=0),
+        jnp.take(data.t0, data.obs_cam, axis=0),
+        jnp.take(data.X0, data.obs_pt, axis=0),
+        data.obs_xy,
+        data.obs_w * robust_w,
+    )
+    Jc, Jp = jac  # (O, 2, 6), (O, 2, 3)
+    dc = jnp.sum(Jc * Jc, axis=1)  # (O, 6)
+    dp = jnp.sum(Jp * Jp, axis=1)  # (O, 3)
+    C = params.xi.shape[0]
+    P = params.dX.shape[0]
+    diag_c = jax.ops.segment_sum(dc, data.obs_cam, num_segments=C)
+    diag_p = jax.ops.segment_sum(dp, data.obs_pt, num_segments=P)
+    diag = jnp.concatenate([
+        (diag_c * free_mask_cam[:, None]).reshape(-1),
+        (diag_p * free_mask_pt[:, None]).reshape(-1),
+    ])
+    return jnp.maximum(diag, 1e-8)
+
+
+@functools.partial(jax.jit, static_argnames=("cg_iters", "motion_only"))
+def _lm_step(
+    params: BAParams,
+    data: BAData,
+    damping: jnp.ndarray,
+    delta: float,
+    cg_iters: int = 40,
+    motion_only: bool = False,
+):
+    """One LM iteration: build robust weights, solve the damped normal
+    equations with preconditioned CG (matrix-free), return candidate step."""
+    C = params.xi.shape[0]
+    P = params.dX.shape[0]
+    robust_w = jax.lax.stop_gradient(_robust_weights(params, data, delta))
+
+    free_cam = jnp.concatenate([jnp.zeros(1), jnp.ones(C - 1)])  # gauge: cam0 fixed
+    free_pt = jnp.zeros(P) if motion_only else jnp.ones(P)
+    free_flat = jnp.concatenate([
+        jnp.repeat(free_cam, 6), jnp.repeat(free_pt, 3)
+    ])
+
+    def res_flat(v):
+        return _residuals(_unflatten(v, C, P), data, robust_w)
+
+    x0 = _flatten(params)
+    r0 = res_flat(x0)
+    cost0 = 0.5 * jnp.sum(r0 * r0)
+
+    _, vjp = jax.vjp(res_flat, x0)
+    g = vjp(r0)[0] * free_flat  # J^T r
+
+    diag = _per_obs_jac_diag(params, data, robust_w, free_cam, free_pt)
+    M_inv = 1.0 / (diag + damping * diag + 1e-8)
+
+    def A(v):
+        v = v * free_flat
+        _, Jv = jax.jvp(res_flat, (x0,), (v,))
+        JtJv = vjp(Jv)[0] * free_flat
+        return JtJv + damping * diag * v
+
+    # Preconditioned CG on A dx = -g
+    b = -g
+
+    def cg_body(carry, _):
+        x, r, z, p = carry
+        Ap = A(p)
+        rz = jnp.sum(r * z)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-12)
+        x = x + alpha * p
+        r_new = r - alpha * Ap
+        z_new = M_inv * r_new
+        beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-12)
+        p = z_new + beta * p
+        return (x, r_new, z_new, p), None
+
+    x_init = jnp.zeros_like(b)
+    z0 = M_inv * b
+    (dx, *_), _ = jax.lax.scan(cg_body, (x_init, b, z0, z0), None, length=cg_iters)
+    dx = dx * free_flat
+
+    cand = _unflatten(x0 + dx, C, P)
+    r1 = _residuals(cand, data, robust_w)
+    cost1 = 0.5 * jnp.sum(r1 * r1)
+    return cand, cost0, cost1
+
+
+def bundle_adjust(
+    K: np.ndarray,
+    poses: Dict[int, Tuple[np.ndarray, np.ndarray]],
+    points: np.ndarray,
+    observations: List[List[Tuple[int, int]]],
+    kp_xy: List[np.ndarray],
+    config: Optional[BundleConfig] = None,
+):
+    """Host wrapper: builds the padded observation table from pipeline state,
+    runs the LM loop, returns (poses', points', stats).
+
+    observations[p] = [(cam_id, kp_id), ...]; kp_xy[cam] = (K, 2) pixels.
+    """
+    config = config or BundleConfig()
+    cam_ids = sorted(poses.keys())
+    cam_row = {c: i for i, c in enumerate(cam_ids)}
+    C = len(cam_ids)
+    P = len(points)
+    if C < 2 or P < 8:
+        return poses, points, {"iterations": 0}
+
+    oc, op, oxy = [], [], []
+    for pid, obs in enumerate(observations):
+        for (cam, kp) in obs:
+            if cam in cam_row:
+                oc.append(cam_row[cam])
+                op.append(pid)
+                oxy.append(kp_xy[cam][kp])
+    O = len(oc)
+    cap = 1 << max(8, (O - 1).bit_length())
+    obs_cam = np.zeros(cap, np.int32)
+    obs_pt = np.zeros(cap, np.int32)
+    obs_xy = np.zeros((cap, 2), np.float32)
+    obs_w = np.zeros(cap, np.float32)
+    obs_cam[:O] = oc
+    obs_pt[:O] = op
+    obs_xy[:O] = np.asarray(oxy, np.float32)
+    obs_w[:O] = 1.0
+
+    data = BAData(
+        K=jnp.asarray(K, jnp.float32),
+        R0=jnp.asarray(np.stack([poses[c][0] for c in cam_ids]), jnp.float32),
+        t0=jnp.asarray(np.stack([poses[c][1] for c in cam_ids]), jnp.float32),
+        X0=jnp.asarray(points, jnp.float32),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_pt=jnp.asarray(obs_pt),
+        obs_xy=jnp.asarray(obs_xy),
+        obs_w=jnp.asarray(obs_w),
+    )
+    params = BAParams(xi=jnp.zeros((C, 6)), dX=jnp.zeros((P, 3)))
+
+    damping = config.init_damping
+    # rms before/after measured consistently: unweighted, no Huber.
+    r_init = _residuals(params, data, jnp.ones_like(data.obs_w))
+    rms0 = float(jnp.sqrt(jnp.sum(r_init**2) / max(O, 1)))
+    iters = 0
+    for it in range(config.max_iterations):
+        cand, cost0, cost1 = _lm_step(
+            params, data, jnp.asarray(damping, jnp.float32),
+            config.robust_delta_px,
+            cg_iters=config.cg_iterations,
+            motion_only=config.motion_only,
+        )
+        c0, c1 = float(cost0), float(cost1)
+        if c1 < c0:
+            # Accept: fold the increment into the linearization point.
+            R, t = _apply_increment(cand.xi, data.R0, data.t0)
+            data = data._replace(R0=R, t0=t, X0=data.X0 + cand.dX)
+            params = BAParams(xi=jnp.zeros((C, 6)), dX=jnp.zeros((P, 3)))
+            damping = max(damping * 0.5, 1e-8)
+            iters += 1
+            if (c0 - c1) / max(c0, 1e-12) < 1e-5:
+                break
+        else:
+            damping *= 4.0
+            if damping > 1e4:
+                break
+
+    R_final = np.asarray(data.R0)
+    t_final = np.asarray(data.t0)
+    new_poses = {c: (R_final[i], t_final[i]) for c, i in cam_row.items()}
+    new_points = np.asarray(data.X0)
+    r_fin = _residuals(params, data, jnp.ones_like(data.obs_w))
+    rms1 = float(jnp.sqrt(jnp.sum(r_fin**2) / max(O, 1)))
+    stats = {"iterations": iters, "rms_before": rms0, "rms_after": rms1, "num_obs": O}
+    return new_poses, new_points, stats

@@ -1,11 +1,696 @@
-"""Incremental SfM pipeline driver (reference src/core/sfm_pipeline.py).
+"""Incremental structure-from-motion pipeline.
 
-Placeholder module — the full driver lands with the SfM milestone.
+Capability parity with reference src/core/sfm_pipeline.py (SfMPipeline :28-938):
+load -> extract -> match -> init-pair -> incremental registration loop ->
+motion refinement -> normalization -> PLY. The host Python here is O(images)
+control flow only (SURVEY.md §7 build plan, step 5); every hot operation is a
+fixed-shape jitted kernel from recon3d_tpu.ops:
+
+  reference (OpenCV/C++)                      here (XLA/TPU)
+  ----------------------------------------    ---------------------------------
+  FLANN per-pair loop (:188-208)              MXU distance-matrix matcher
+  cv.findFundamentalMat RANSAC (:357)         vmapped 8-point hypothesis batch
+  cv.solvePnPRansac x3 (:567-584)             vmapped 6-pt DLT batch + GN polish
+  cv.triangulatePoints per pair (:635-693)    batched DLT + masked validation
+  per-camera PnP "BA" (:694-776)              batched GN motion refinement
+
+Dynamic-size state (tracks, observations) lives on the host in numpy; device
+calls are padded to power-of-two buckets so jit caches stay small.
 """
 
 from __future__ import annotations
 
+import time
+from typing import Dict, List, Optional, Set, Tuple
 
-class SfMPipeline:  # pragma: no cover - implemented in the SfM milestone
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError("SfMPipeline lands with the SfM milestone")
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from recon3d_tpu.camera import Camera, CameraPose, load_calibration, projection_from_KRt
+from recon3d_tpu.config import ReconstructionConfig
+from recon3d_tpu.features.frontend import FeatureExtractor, FeatureMatcher
+from recon3d_tpu.io.dataset import ImageSet, load_image_set
+from recon3d_tpu.io.ply import save_ply, save_cameras_ply
+from recon3d_tpu.ops.estimation import estimate_pose_pnp
+from recon3d_tpu.ops.epipolar import essential_from_fundamental, recover_pose
+from recon3d_tpu.ops.pnp import refine_pose_gn, project_points
+from recon3d_tpu.ops.triangulate import (
+    triangulate_dlt,
+    validate_triangulation,
+    triangulation_angles,
+    reprojection_errors,
+)
+
+
+def _pad_pow2(n: int, lo: int = 256, hi: int = 16384) -> int:
+    c = lo
+    while c < n and c < hi:
+        c *= 2
+    return c
+
+
+# --------------------------------------------------------------------------
+# Jitted helpers (fixed-shape, cached per padded size)
+
+
+@jax.jit
+def _recover_from_F(F, K, x1, x2, mask):
+    E = essential_from_fundamental(F, K)
+    R, t, front = recover_pose(E, x1, x2, K, mask)
+    return R, t, front
+
+
+@jax.jit
+def _triangulate_validated(
+    K, R1, t1, R2, t2, x1, x2, mask, max_reproj, min_parallax, max_depth_factor
+):
+    P1 = projection_from_KRt(K, R1, t1)
+    P2 = projection_from_KRt(K, R2, t2)
+    X = triangulate_dlt(P1, P2, x1, x2)
+    ok = validate_triangulation(
+        K, R1, t1, R2, t2, X, x1, x2,
+        max_reproj_px=max_reproj,
+        min_parallax_deg=min_parallax,
+        max_depth_factor=max_depth_factor,
+    )
+    C1 = -R1.T @ t1
+    C2 = -R2.T @ t2
+    parallax = triangulation_angles(C1, C2, X)
+    return X, ok & (mask > 0), parallax
+
+
+@jax.jit
+def _refine_camera(K, R, t, X, x, w):
+    return refine_pose_gn(K, R, t, X, x, w, iterations=6)
+
+
+@jax.jit
+def _reproj_errors(K, R, t, X, x):
+    return reprojection_errors(K, R, t, X, x)
+
+
+class SfMPipeline:
+    """Incremental SfM (reference sfm_pipeline.py:28-86 constructor parity).
+
+    Args:
+      calibration_path: optional .npz (mtx, dist) file.
+      fast_mode: fewer features / looser ratio (reference :54-62).
+      neural_mode: use SuperPoint+LightGlue frontend instead of SIFT.
+      config: full ReconstructionConfig (overrides fast_mode presets).
+    """
+
+    def __init__(
+        self,
+        calibration_path: Optional[str] = None,
+        fast_mode: bool = False,
+        neural_mode: bool = False,
+        config: Optional[ReconstructionConfig] = None,
+    ):
+        self.config = config or (
+            ReconstructionConfig.fast() if fast_mode else ReconstructionConfig()
+        )
+        self.camera: Optional[Camera] = (
+            load_calibration(calibration_path) if calibration_path else None
+        )
+        self.neural_mode = neural_mode
+        if neural_mode:
+            from recon3d_tpu.neural.matcher import NeuralMatcher
+
+            self.extractor = NeuralMatcher(self.config.neural)
+            self.matcher = self.extractor
+        else:
+            self.extractor = FeatureExtractor(self.config.sift)
+            self.matcher = FeatureMatcher(self.config.match)
+
+        self._key = jax.random.PRNGKey(self.config.sfm.seed)
+        self.reset()
+
+    # -- state ------------------------------------------------------------
+
+    def reset(self):
+        self.image_set: Optional[ImageSet] = None
+        self.features: List = []
+        self.kp_xy: List[np.ndarray] = []
+        self.matches: Dict[Tuple[int, int], Dict[str, np.ndarray]] = {}
+        self.poses: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self.registered: Set[int] = set()
+        self.failed: Set[int] = set()
+        self.points3d: List[np.ndarray] = []
+        self.point_colors: List[np.ndarray] = []
+        self.observations: List[List[Tuple[int, int]]] = []
+        self.kp_to_point: List[np.ndarray] = []
+        self.stats: Dict = {}
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # -- stage 1: load ------------------------------------------------------
+
+    def load_images(self, image_dir: str, max_images: Optional[int] = None) -> ImageSet:
+        """Load + resize + undistort (reference :87-124)."""
+        self.image_set = load_image_set(
+            image_dir,
+            camera=self.camera,
+            max_size=self.config.sfm.max_image_size,
+            max_images=max_images,
+        )
+        self.camera = self.image_set.camera
+        return self.image_set
+
+    def set_image_set(self, image_set: ImageSet):
+        """Inject a pre-loaded set (synthetic scenes, tests)."""
+        self.image_set = image_set
+        self.camera = image_set.camera
+
+    # -- stage 2: features ----------------------------------------------------
+
+    def extract_features(self):
+        """Per-image feature extraction (reference :126-157)."""
+        t0 = time.time()
+        n = self.image_set.gray.shape[0]
+        self.features = []
+        self.kp_xy = []
+        for i in range(n):
+            f = self.extractor.extract(self.image_set.gray[i])
+            self.features.append(f)
+            self.kp_xy.append(np.asarray(f.xy))
+            self.kp_to_point.append(
+                np.full(self.kp_xy[-1].shape[0], -1, dtype=np.int64)
+            )
+        counts = [int(np.asarray(f.valid).sum()) for f in self.features]
+        self.stats["extract_time"] = time.time() - t0
+        self.stats["features_per_image"] = counts
+        print(f"[sfm] extracted features: mean {np.mean(counts):.0f}/image "
+              f"({self.stats['extract_time']:.1f}s)")
+
+    # -- stage 3: matching ----------------------------------------------------
+
+    def _candidate_pairs(self, n: int) -> List[Tuple[int, int]]:
+        """Window + loop-closure + stride probes (reference :164-182)."""
+        w = self.config.sfm.match_window
+        pairs = set()
+        for i in range(n):
+            for j in range(i + 1, min(n, i + 1 + w)):
+                pairs.add((i, j))
+        if self.config.sfm.loop_closure and n > 2 * w:
+            for i in range(w):
+                for j in range(n - w, n):
+                    if i < j:
+                        pairs.add((i, j))
+            for stride in (2 * w, 4 * w):
+                for i in range(0, n - stride, max(1, stride // 2)):
+                    pairs.add((i, i + stride))
+        return sorted(pairs)
+
+    def match_image_pairs(self):
+        """Geometric matching of candidate pairs (reference :158-246)."""
+        t0 = time.time()
+        n = len(self.features)
+        pairs = self._candidate_pairs(n)
+        kept = 0
+        for (i, j) in pairs:
+            m, F, n_inl = self.matcher.match_pair_geometric(
+                self.features[i], self.features[j], self._next_key()
+            )
+            if n_inl >= self.config.match.min_matches:
+                mask = np.asarray(m.mask)
+                self.matches[(i, j)] = dict(
+                    idx1=np.asarray(m.idx1)[mask],
+                    idx2=np.asarray(m.idx2)[mask],
+                    F=np.asarray(F),
+                    n=int(mask.sum()),
+                )
+                kept += 1
+        self.stats["match_time"] = time.time() - t0
+        self.stats["num_pairs"] = kept
+        print(f"[sfm] matched {kept}/{len(pairs)} pairs "
+              f"({self.stats['match_time']:.1f}s)")
+        self._bridge_components(n)
+
+    def _components(self, n: int) -> List[Set[int]]:
+        """Connected components of the match graph (reference :247-277)."""
+        parent = list(range(n))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for (i, j) in self.matches:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[ri] = rj
+        comps: Dict[int, Set[int]] = {}
+        for i in range(n):
+            comps.setdefault(find(i), set()).add(i)
+        return sorted(comps.values(), key=len, reverse=True)
+
+    def _bridge_components(self, n: int):
+        """Try to connect disconnected components (reference :278-296)."""
+        comps = self._components(n)
+        if len(comps) <= 1:
+            return
+        print(f"[sfm] match graph fragmented into {len(comps)} components; bridging")
+        main = comps[0]
+        for other in comps[1:]:
+            candidates = sorted(
+                ((i, j) if i < j else (j, i))
+                for i in list(main)[:6]
+                for j in list(other)[:6]
+            )[:8]
+            for (i, j) in candidates:
+                if (i, j) in self.matches:
+                    continue
+                m, F, n_inl = self.matcher.match_pair_geometric(
+                    self.features[i], self.features[j], self._next_key()
+                )
+                if n_inl >= self.config.match.min_matches:
+                    mask = np.asarray(m.mask)
+                    self.matches[(i, j)] = dict(
+                        idx1=np.asarray(m.idx1)[mask],
+                        idx2=np.asarray(m.idx2)[mask],
+                        F=np.asarray(F),
+                        n=int(mask.sum()),
+                    )
+                    main |= other
+                    break
+
+    # -- stage 4: initialization ------------------------------------------------
+
+    def _pair_xy(self, i: int, j: int):
+        m = self.matches[(i, j)]
+        return self.kp_xy[i][m["idx1"]], self.kp_xy[j][m["idx2"]]
+
+    def find_best_initial_pair(self) -> Optional[Tuple[int, int]]:
+        """Score candidate init pairs by inliers x parallax gate
+        (reference :331-433: parallax in [1.5, 40] deg, boost [3, 20])."""
+        cfg = self.config.sfm
+        ranked = sorted(self.matches.items(), key=lambda kv: -kv[1]["n"])[:10]
+        best, best_score = None, 0.0
+        K = self.camera.K
+        for (i, j), m in ranked:
+            x1, x2 = self._pair_xy(i, j)
+            cap = _pad_pow2(len(x1))
+            x1p = np.zeros((cap, 2), np.float32)
+            x2p = np.zeros((cap, 2), np.float32)
+            maskp = np.zeros(cap, np.float32)
+            x1p[: len(x1)] = x1
+            x2p[: len(x2)] = x2
+            maskp[: len(x1)] = 1
+            R, t, front = _recover_from_F(
+                jnp.asarray(m["F"]), K, jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(maskp)
+            )
+            X, ok, parallax = _triangulate_validated(
+                K, jnp.eye(3), jnp.zeros(3), R, t,
+                jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(maskp),
+                cfg.max_reproj_error_px, 0.5, cfg.max_depth_factor,
+            )
+            okn = np.asarray(ok)
+            if okn.sum() < cfg.min_matches_init // 2:
+                continue
+            med_par = float(np.median(np.asarray(parallax)[okn]))
+            if not (cfg.min_parallax_init_deg <= med_par <= cfg.max_parallax_init_deg):
+                continue
+            boost = 2.0 if 3.0 <= med_par <= 20.0 else 1.0
+            score = okn.sum() * boost
+            if score > best_score:
+                best_score = score
+                best = (i, j, np.asarray(R), np.asarray(t))
+        if best is None:
+            return None
+        i, j, R, t = best
+        self._init_R, self._init_t = R, t
+        print(f"[sfm] initial pair ({i}, {j}), score {best_score:.0f}")
+        return (i, j)
+
+    def initialize(self, pair: Tuple[int, int]):
+        """Seed the reconstruction from the initial pair (reference :435-477)."""
+        i, j = pair
+        cfg = self.config.sfm
+        self.poses[i] = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        self.poses[j] = (self._init_R.astype(np.float32), self._init_t.astype(np.float32))
+        self.registered = {i, j}
+        self._add_triangulated(i, j)
+        print(f"[sfm] initialized with {len(self.points3d)} points")
+
+    # -- stage 5: incremental loop -----------------------------------------------
+
+    def _correspondences_2d3d(self, i: int):
+        """2D-3D correspondences for an unregistered image via matched,
+        already-triangulated keypoints in registered partners (ref :478-510)."""
+        kp_ids: Dict[int, int] = {}
+        for (a, b), m in self.matches.items():
+            if a == i and b in self.registered:
+                mine, theirs, cam = m["idx1"], m["idx2"], b
+            elif b == i and a in self.registered:
+                mine, theirs, cam = m["idx2"], m["idx1"], a
+            else:
+                continue
+            pts = self.kp_to_point[cam][theirs]
+            has = pts >= 0
+            for kp, pid in zip(mine[has], pts[has]):
+                kp_ids.setdefault(int(kp), int(pid))
+        return kp_ids
+
+    def find_next_image(self) -> Optional[int]:
+        cfg = self.config.sfm
+        best, best_n = None, cfg.pnp_min_correspondences - 1
+        for i in range(len(self.features)):
+            if i in self.registered or i in self.failed:
+                continue
+            n = len(self._correspondences_2d3d(i))
+            if n > best_n:
+                best, best_n = i, n
+        return best
+
+    def register_image(self, i: int) -> bool:
+        """PnP registration with threshold cascade (reference :512-633)."""
+        cfg = self.config.sfm
+        corr = self._correspondences_2d3d(i)
+        if len(corr) < cfg.pnp_min_correspondences:
+            return False
+        kps = np.fromiter(corr.keys(), dtype=np.int64)
+        pids = np.fromiter(corr.values(), dtype=np.int64)
+        X = np.stack([self.points3d[p] for p in pids]).astype(np.float32)
+        x = self.kp_xy[i][kps].astype(np.float32)
+
+        cap = _pad_pow2(len(X))
+        Xp = np.zeros((cap, 3), np.float32)
+        xp = np.zeros((cap, 2), np.float32)
+        vp = np.zeros(cap, np.float32)
+        Xp[: len(X)] = X
+        xp[: len(x)] = x
+        vp[: len(X)] = 1
+
+        for thr in cfg.pnp_thresholds_px:
+            res = estimate_pose_pnp(
+                self._next_key(), self.camera.K,
+                jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(vp),
+                threshold_px=thr, num_hypotheses=cfg.pnp_hypotheses,
+            )
+            n_inl = int(res.num_inliers)
+            if n_inl >= max(cfg.pnp_min_correspondences, int(0.25 * len(X))):
+                self.poses[i] = (np.asarray(res.R), np.asarray(res.t))
+                self.registered.add(i)
+                inl = np.asarray(res.inliers)[: len(X)]
+                # record observations for inlier correspondences
+                for kp, pid, good in zip(kps, pids, inl):
+                    if good and self.kp_to_point[i][kp] < 0:
+                        self.kp_to_point[i][kp] = pid
+                        self.observations[pid].append((i, int(kp)))
+                return True
+        return False
+
+    def _add_triangulated(self, i: int, j: int):
+        """Triangulate unassigned matches of a registered pair
+        (reference :635-693). Also links matches where one side already
+        has a 3D point."""
+        cfg = self.config.sfm
+        key = (i, j) if (i, j) in self.matches else (j, i)
+        if key not in self.matches:
+            return 0
+        m = self.matches[key]
+        a, b = key
+        kpa, kpb = m["idx1"], m["idx2"]
+        pa = self.kp_to_point[a][kpa]
+        pb = self.kp_to_point[b][kpb]
+
+        # Link matches where one side already has a 3D point — but only if
+        # that point reprojects into the new camera within the gate
+        # (otherwise wrong links poison the track table and BA).
+        def _link(from_pts, to_cam, to_kps, sel):
+            if sel.sum() == 0:
+                return
+            pids = from_pts[sel]
+            kps = to_kps[sel]
+            X = np.stack([self.points3d[p] for p in pids]).astype(np.float32)
+            x = self.kp_xy[to_cam][kps].astype(np.float32)
+            cap = _pad_pow2(len(X))
+            Xp = np.zeros((cap, 3), np.float32)
+            xp = np.zeros((cap, 2), np.float32)
+            Xp[: len(X)] = X
+            xp[: len(x)] = x
+            R, t = self.poses[to_cam]
+            e = np.asarray(
+                _reproj_errors(self.camera.K, jnp.asarray(R), jnp.asarray(t),
+                               jnp.asarray(Xp), jnp.asarray(xp))
+            )[: len(X)]
+            good = e < cfg.max_reproj_error_px
+            for kp, pid in zip(kps[good], pids[good]):
+                if self.kp_to_point[to_cam][kp] < 0:
+                    self.kp_to_point[to_cam][kp] = pid
+                    self.observations[pid].append((to_cam, int(kp)))
+
+        _link(pa, b, kpb, (pa >= 0) & (pb < 0))
+        _link(pb, a, kpa, (pb >= 0) & (pa < 0))
+
+        fresh = (pa < 0) & (pb < 0)
+        if fresh.sum() == 0:
+            return 0
+        ka = kpa[fresh]
+        kb = kpb[fresh]
+        x1 = self.kp_xy[a][ka].astype(np.float32)
+        x2 = self.kp_xy[b][kb].astype(np.float32)
+        cap = _pad_pow2(len(x1))
+        x1p = np.zeros((cap, 2), np.float32)
+        x2p = np.zeros((cap, 2), np.float32)
+        maskp = np.zeros(cap, np.float32)
+        x1p[: len(x1)] = x1
+        x2p[: len(x2)] = x2
+        maskp[: len(x1)] = 1
+
+        Ra, ta = self.poses[a]
+        Rb, tb = self.poses[b]
+        X, ok, _ = _triangulate_validated(
+            self.camera.K,
+            jnp.asarray(Ra), jnp.asarray(ta), jnp.asarray(Rb), jnp.asarray(tb),
+            jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(maskp),
+            cfg.max_reproj_error_px, cfg.min_parallax_deg, cfg.max_depth_factor,
+        )
+        Xn = np.asarray(X)
+        okn = np.asarray(ok)[: len(x1)]
+
+        color_img = self.image_set.color[a]
+        Hh, Ww = color_img.shape[:2]
+        created = 0
+        for idx in np.nonzero(okn)[0]:
+            if len(self.points3d) >= cfg.max_points:
+                break
+            pid = len(self.points3d)
+            self.points3d.append(Xn[idx])
+            u = int(np.clip(round(x1[idx, 0]), 0, Ww - 1))
+            v = int(np.clip(round(x1[idx, 1]), 0, Hh - 1))
+            self.point_colors.append(
+                (color_img[v, u] * 255).astype(np.uint8)
+            )
+            self.observations.append([(a, int(ka[idx])), (b, int(kb[idx]))])
+            self.kp_to_point[a][ka[idx]] = pid
+            self.kp_to_point[b][kb[idx]] = pid
+            created += 1
+        return created
+
+    def triangulate_new_points(self, i: int) -> int:
+        total = 0
+        for j in self.registered:
+            if j != i:
+                total += self._add_triangulated(i, j)
+        return total
+
+    # -- stage 6: motion refinement (reference's "light BA", :694-776) ----------
+
+    def bundle_adjustment_light(self, iterations: int = 2):
+        """Motion-only refinement: re-optimize each camera against its
+        observations with batched GN (replaces the per-camera cv.solvePnP
+        resolve loop, reference :730-762)."""
+        err_before = self._mean_reproj_error()
+        for _ in range(iterations):
+            for i in sorted(self.registered):
+                kps = np.nonzero(self.kp_to_point[i] >= 0)[0]
+                if len(kps) < 6:
+                    continue
+                pids = self.kp_to_point[i][kps]
+                X = np.stack([self.points3d[p] for p in pids]).astype(np.float32)
+                x = self.kp_xy[i][kps].astype(np.float32)
+                cap = _pad_pow2(len(X))
+                Xp = np.zeros((cap, 3), np.float32)
+                xp = np.zeros((cap, 2), np.float32)
+                wp = np.zeros(cap, np.float32)
+                Xp[: len(X)] = X
+                xp[: len(x)] = x
+                wp[: len(X)] = 1
+                R, t = self.poses[i]
+                Rn, tn = _refine_camera(
+                    self.camera.K, jnp.asarray(R), jnp.asarray(t),
+                    jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(wp),
+                )
+                self.poses[i] = (np.asarray(Rn), np.asarray(tn))
+        err_after = self._mean_reproj_error()
+        print(f"[sfm] motion refinement: reproj {err_before:.3f} -> {err_after:.3f} px")
+
+    def bundle_adjustment_full(self):
+        """Full sparse LM bundle adjustment over all cameras and points
+        (sfm/bundle.py) — the upgrade over the reference's PnP-resolve loop."""
+        if len(self.points3d) < 8 or len(self.registered) < 2:
+            return
+        from recon3d_tpu.sfm.bundle import bundle_adjust
+
+        points = np.stack(self.points3d)
+        new_poses, new_points, stats = bundle_adjust(
+            np.asarray(self.camera.K),
+            self.poses,
+            points,
+            self.observations,
+            self.kp_xy,
+            self.config.bundle,
+        )
+        self.poses = {c: (np.asarray(R), np.asarray(t)) for c, (R, t) in new_poses.items()}
+        self.points3d = [p for p in new_points.astype(np.float32)]
+        print(f"[sfm] full BA: rms {stats.get('rms_before', 0):.3f} -> "
+              f"{stats.get('rms_after', 0):.3f} px over {stats.get('num_obs', 0)} obs "
+              f"({stats.get('iterations', 0)} iters)")
+
+    def _mean_reproj_error(self) -> float:
+        errs = []
+        for i in sorted(self.registered):
+            kps = np.nonzero(self.kp_to_point[i] >= 0)[0]
+            if len(kps) == 0:
+                continue
+            pids = self.kp_to_point[i][kps]
+            X = np.stack([self.points3d[p] for p in pids]).astype(np.float32)
+            x = self.kp_xy[i][kps].astype(np.float32)
+            cap = _pad_pow2(len(X))
+            Xp = np.zeros((cap, 3), np.float32)
+            xp = np.zeros((cap, 2), np.float32)
+            Xp[: len(X)] = X
+            xp[: len(x)] = x
+            R, t = self.poses[i]
+            e = np.asarray(
+                _reproj_errors(self.camera.K, jnp.asarray(R), jnp.asarray(t),
+                               jnp.asarray(Xp), jnp.asarray(xp))
+            )[: len(X)]
+            errs.append(e)
+        if not errs:
+            return 0.0
+        return float(np.mean(np.concatenate(errs)))
+
+    # -- stage 7: full run --------------------------------------------------------
+
+    def try_recover_images(self):
+        """Retry previously failed registrations (reference :778-789)."""
+        retry = list(self.failed)
+        self.failed.clear()
+        for i in retry:
+            if self.register_image(i):
+                self.triangulate_new_points(i)
+            else:
+                self.failed.add(i)
+
+    def reconstruct(
+        self,
+        image_dir: Optional[str] = None,
+        max_images: Optional[int] = None,
+        image_set: Optional[ImageSet] = None,
+    ):
+        """Full pipeline (reference :791-882). Returns (points (P,3) float32,
+        colors (P,3) uint8, poses {idx: CameraPose})."""
+        t0 = time.time()
+        if image_set is not None:
+            self.set_image_set(image_set)
+        elif image_dir is not None:
+            self.load_images(image_dir, max_images)
+        elif self.image_set is None:
+            raise ValueError("need image_dir or image_set")
+
+        self.extract_features()
+        self.match_image_pairs()
+
+        pair = self.find_best_initial_pair()
+        if pair is None:
+            raise RuntimeError("no valid initial pair found")
+        self.initialize(pair)
+
+        since_ba = 0
+        while True:
+            nxt = self.find_next_image()
+            if nxt is None:
+                break
+            if self.register_image(nxt):
+                n_new = self.triangulate_new_points(nxt)
+                since_ba += 1
+                print(f"[sfm] registered image {nxt} "
+                      f"({len(self.registered)}/{len(self.features)}), +{n_new} points")
+                if since_ba >= self.config.sfm.ba_every_n_cameras:
+                    self.bundle_adjustment_light()
+                    since_ba = 0
+            else:
+                self.failed.add(nxt)
+                print(f"[sfm] failed to register image {nxt}")
+
+        self.bundle_adjustment_light()
+        self.try_recover_images()
+        self.bundle_adjustment_full()
+        self._normalize_reconstruction()
+
+        elapsed = time.time() - t0
+        self.stats["total_time"] = elapsed
+        self.stats["num_points"] = len(self.points3d)
+        self.stats["num_cameras"] = len(self.registered)
+        self.stats["mean_reproj_px"] = self._mean_reproj_error()
+        print(
+            f"[sfm] done: {len(self.points3d)} points, "
+            f"{len(self.registered)}/{len(self.features)} cameras, "
+            f"reproj {self.stats['mean_reproj_px']:.3f} px, {elapsed:.1f}s"
+        )
+
+        points = np.stack(self.points3d) if self.points3d else np.zeros((0, 3), np.float32)
+        colors = (
+            np.stack(self.point_colors) if self.point_colors else np.zeros((0, 3), np.uint8)
+        )
+        poses = {
+            i: CameraPose(R=jnp.asarray(R), t=jnp.asarray(t))
+            for i, (R, t) in sorted(self.poses.items())
+        }
+        return points, colors, poses
+
+    # -- stage 8: normalization + output ------------------------------------------
+
+    def _normalize_reconstruction(self):
+        """Median-center; scale so the 90th-percentile radius = normalize_scale
+        (reference :884-914). Applied to points and camera centers."""
+        if len(self.points3d) < 10:
+            return
+        P = np.stack(self.points3d)
+        center = np.median(P, axis=0)
+        r = np.linalg.norm(P - center, axis=1)
+        p90 = np.percentile(r, 90)
+        if p90 < 1e-9:
+            return
+        s = self.config.sfm.normalize_scale / p90
+        P = (P - center) * s
+        self.points3d = [p for p in P.astype(np.float32)]
+        for i, (R, t) in self.poses.items():
+            C = -R.T @ t
+            Cn = (C - center) * s
+            self.poses[i] = (R, (-R @ Cn).astype(np.float32))
+
+    def save_ply(self, path: str):
+        """Write sparse cloud (reference :916-938)."""
+        points = np.stack(self.points3d) if self.points3d else np.zeros((0, 3), np.float32)
+        colors = (
+            np.stack(self.point_colors) if self.point_colors else np.zeros((0, 3), np.uint8)
+        )
+        save_ply(path, points, colors)
+
+    def save_cameras_ply(self, path: str):
+        poses = [
+            CameraPose(R=jnp.asarray(R), t=jnp.asarray(t))
+            for _, (R, t) in sorted(self.poses.items())
+        ]
+        if poses:
+            from recon3d_tpu.camera import stack_poses
+
+            save_cameras_ply(path, stack_poses(poses))

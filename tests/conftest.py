@@ -6,7 +6,11 @@ use xla_force_host_platform_device_count simulation).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the shell profile exports JAX_PLATFORMS=axon (the TPU tunnel),
+# so a setdefault would silently run the whole suite over the tunnel.
+# Unit tests target the virtual 8-device CPU mesh; TPU runs happen via
+# bench.py and explicit verification drives.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +20,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu" at
+# interpreter start, overriding the env var — undo it here, before any
+# backend initializes, so tests run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402

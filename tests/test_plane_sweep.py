@@ -1,0 +1,82 @@
+"""Plane-sweep stereo tests against ground-truth depth from the renderer."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from recon3d_tpu.camera import Camera
+from recon3d_tpu.config import PlaneSweepConfig
+from recon3d_tpu.dense.plane_sweep import (
+    PlaneSweepReconstructor,
+    sweep_depth_map,
+    backproject_depth,
+)
+from tests.render import render_views
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return render_views(n_views=5, image_size=(96, 128), arc_step=0.1)
+
+
+def test_sweep_depth_accuracy(scene):
+    """Estimated depth at confident pixels matches GT within plane spacing."""
+    images = scene["images"]
+    gray = images.mean(-1)
+    ref = 2
+    srcs = [0, 1, 3, 4]
+    gt = scene["depth"][ref]
+    dmin, dmax = float(gt[gt > 0].min() * 0.7), float(gt[gt > 0].max() * 1.4)
+
+    depth, cnt, ncc = sweep_depth_map(
+        jnp.asarray(gray[ref]),
+        jnp.asarray(gray[srcs]),
+        jnp.asarray(scene["K"]),
+        jnp.asarray(scene["Rs"][ref]),
+        jnp.asarray(scene["ts"][ref]),
+        jnp.asarray(scene["Rs"][srcs]),
+        jnp.asarray(scene["ts"][srcs]),
+        jnp.asarray([dmin, dmax], jnp.float32),
+        num_depths=96,
+        patch=5,
+        ncc_threshold=0.7,
+        min_views=3,
+    )
+    depth = np.asarray(depth)
+    cnt = np.asarray(cnt)
+    conf = (cnt >= 3) & (gt > 0)
+    assert conf.mean() > 0.3, f"too few confident pixels: {conf.mean():.2%}"
+    rel_err = np.abs(depth[conf] - gt[conf]) / gt[conf]
+    # inverse-depth plane spacing bounds the quantization error
+    assert np.median(rel_err) < 0.05, f"median rel depth err {np.median(rel_err):.3f}"
+    assert (rel_err < 0.1).mean() > 0.8
+
+
+def test_backproject_roundtrip(scene):
+    gt = scene["depth"][0]
+    K = jnp.asarray(scene["K"])
+    R = jnp.asarray(scene["Rs"][0])
+    t = jnp.asarray(scene["ts"][0])
+    pts, mask = backproject_depth(jnp.asarray(gt), K, R, t, jnp.asarray(gt > 0))
+    pts = np.asarray(pts)[np.asarray(mask)]
+    # reproject: all points must land in front with the same depth
+    Xc = pts @ np.asarray(scene["Rs"][0]).T + scene["ts"][0]
+    np.testing.assert_allclose(
+        np.sort(Xc[:, 2]), np.sort(gt[gt > 0].ravel()), rtol=1e-4
+    )
+
+
+def test_full_reconstructor(scene):
+    cam = Camera.from_matrix(scene["K"])
+    cfg = PlaneSweepConfig(scale=1.0, num_depths=64, min_views=3, voxel_size=0.01)
+    rec = PlaneSweepReconstructor(cam, cfg)
+    poses = {i: (scene["Rs"][i], scene["ts"][i]) for i in range(5)}
+    points, colors = rec.reconstruct(scene["images"], poses)
+    assert len(points) > 3000
+    assert colors.shape == points.shape
+    # points should lie near the GT scene surfaces: check via depth lookup
+    ref = 2
+    Xc = points @ scene["Rs"][ref].T + scene["ts"][ref]
+    front = Xc[:, 2] > 0
+    assert front.mean() > 0.95
