@@ -1,16 +1,17 @@
-"""Framework benchmark: dense MVS depth-map throughput (megapixels/sec/chip).
+"""Framework benchmark: dense MVS (PatchMatch) depth-map throughput,
+megapixels/sec/chip — the north-star metric from BASELINE.json.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Config mirrors the reference's plane-sweep defaults (dense_stereo.py:32-37):
-scale 0.25, 64 inverse-depth planes, 5x5 NCC patch, k neighbor views. The
-baseline denominator was measured by running the reference's torch path on
-this host CPU (no CUDA available) with the identical synthetic scene:
-4 views of 480x640 -> 4 depth maps of 120x160 in 11.82 s = 0.0065 MP/s
+Config mirrors the reference's PatchMatch defaults (mvs_patchmatch.py:43-50):
+scale 0.25, 3 iterations, 8 refinement samples, 11x11 NCC patch, k source
+views. The baseline denominator was measured by running the reference's torch
+path on this host CPU (no CUDA available) with the identical synthetic scene:
+4 views of 480x640 -> 4 depth maps of 120x160 in 4.59 s = 0.0167 MP/s
 (see BASELINE.md "measured" section).
 
 Throughput counts depth-map pixels produced per second of device time,
-steady-state (compile excluded).
+steady-state (compile excluded), with fresh PRNG keys per repetition.
 """
 
 import json
@@ -18,23 +19,25 @@ import time
 
 import numpy as np
 
-BASELINE_MP_S = 0.0065  # reference torch-CPU plane sweep, measured 2026-08-16
+BASELINE_MP_S = 0.0167  # reference torch-CPU PatchMatch, measured 2026-08-16
 
 # Scene: mirrors the reference baseline measurement exactly.
 H, W, V = 480, 640, 4
 SCALE = 0.25
-NUM_DEPTHS = 64
-PATCH = 5
+NUM_ITERATIONS = 3
+NUM_SAMPLES = 8
+PATCH = 11
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from recon3d_tpu.dense.plane_sweep import sweep_depth_map
+    from recon3d_tpu.dense.patchmatch import patchmatch_depth_batch
 
     rng = np.random.default_rng(0)
     Hs, Ws = int(H * SCALE), int(W * SCALE)
+    J = V - 1
     K = np.array(
         [[500.0 * SCALE, 0, Ws / 2], [0, 500.0 * SCALE, Hs / 2], [0, 0, 1]],
         np.float32,
@@ -44,48 +47,46 @@ def main():
     ts = np.stack(
         [np.array([0.3 * i, 0.0, 0.0], np.float32) for i in range(V)]
     )
-    depth_range = jnp.asarray([0.5, 10.0], jnp.float32)
+    refs = list(range(V))
+    srcs = {i: [j for j in range(V) if j != i][:J] for i in refs}
+    base = (
+        jnp.asarray(grays[refs]),
+        jnp.asarray(np.stack([grays[srcs[i]] for i in refs])),
+        jnp.asarray(K),
+        jnp.asarray(Rs[refs]),
+        jnp.asarray(ts[refs]),
+        jnp.asarray(np.stack([Rs[srcs[i]] for i in refs])),
+        jnp.asarray(np.stack([ts[srcs[i]] for i in refs])),
+        jnp.asarray(np.tile([0.5, 10.0], (V, 1)), jnp.float32),
+    )
 
-    nbr = [j for j in range(1, V)]  # k = V-1 = 3 neighbors, as in baseline run
-
-    def one_view(ref_idx, src_idx):
-        return sweep_depth_map(
-            jnp.asarray(grays[ref_idx]),
-            jnp.asarray(grays[src_idx]),
-            jnp.asarray(K),
-            jnp.asarray(Rs[ref_idx]),
-            jnp.asarray(ts[ref_idx]),
-            jnp.asarray(Rs[src_idx]),
-            jnp.asarray(ts[src_idx]),
-            depth_range,
-            num_depths=NUM_DEPTHS,
+    def run(rep):
+        keys = jax.random.split(jax.random.PRNGKey(rep), V)
+        return patchmatch_depth_batch(
+            *base,
+            keys,
+            num_iterations=NUM_ITERATIONS,
+            num_samples=NUM_SAMPLES,
             patch=PATCH,
         )
 
-    views = [(i, [j for j in range(V) if j != i][:3]) for i in range(V)]
-
     # Warm-up / compile.
-    for i, nb in views:
-        d, c, n = one_view(i, nb)
-    jax.block_until_ready(d)
+    jax.block_until_ready(run(0))
 
-    # Steady state: full pass over all reference views, repeated.
-    reps = 5
+    reps = 20
     t0 = time.perf_counter()
-    for _ in range(reps):
-        outs = [one_view(i, nb) for i, nb in views]
-        jax.block_until_ready(outs)
+    outs = [run(r + 1) for r in range(reps)]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
-    mp = Hs * Ws * V * reps / 1e6
-    mp_s = mp / dt
+    mp_s = Hs * Ws * V * reps / 1e6 / dt
     print(
         json.dumps(
             {
-                "metric": "plane_sweep_depthmap_throughput",
-                "value": round(mp_s, 4),
+                "metric": "patchmatch_mvs_depthmap_throughput",
+                "value": round(mp_s, 3),
                 "unit": "MP/s/chip",
-                "vs_baseline": round(mp_s / BASELINE_MP_S, 2),
+                "vs_baseline": round(mp_s / BASELINE_MP_S, 1),
             }
         )
     )

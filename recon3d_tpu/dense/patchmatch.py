@@ -1,0 +1,487 @@
+"""PatchMatch multi-view stereo, TPU-native.
+
+Capability parity with reference src/core/mvs_patchmatch.py (PatchMatchMVS
+:38-588): per reference view, randomly initialize a depth(+normal) field,
+alternate spatial propagation and random refinement against NCC photo-
+consistency over K source views, compute a cross-view confidence, fuse all
+views' confident pixels into a world point cloud, filter.
+
+Redesign for TPU (not a port of the torch loops):
+  - the reference evaluates candidate hypotheses one at a time (2 shifted maps
+    + 8 random samples per iteration, mvs_patchmatch.py:415-491, each a full
+    sequence of per-source grid_sample + conv2d calls); here every iteration
+    evaluates its whole candidate set in ONE vmapped batch — (C, J, H, W) fused
+    warp + NCC, so the MXU/VPU see large regular work;
+  - propagation offers all four axis-aligned neighbors each iteration (the
+    reference alternates two per direction) — strictly stronger and removes
+    the data-dependent direction switch;
+  - NCC windows use O(1) box sums (ops/image.box_filter) instead of ones-
+    kernel conv2d (reference _ncc_cost :392-413);
+  - randomness is explicit jax.random key threading (reference uses global
+    torch.rand, :268-281,471-475);
+  - whole per-view PatchMatch (init + all iterations + confidence) is a single
+    jitted program — zero host round-trips per view (the reference transfers
+    to/from device per stage, :235-257,318-320);
+  - multiple reference views are batched through vmap (the multi-chip shard
+    axis, see dense/distributed.py).
+
+Cost semantics match the reference: each pixel is reprojected with its own
+depth hypothesis into each source view and scored with windowed NCC on the
+warped image; the normal field is carried, propagated, and refined as state
+(reference :275-281) but does not enter the cost (reference _compute_patch_cost
+:323-390 uses depth only). Average cost over valid views; pixels seen by <2
+views get +inf (reference :386-388).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from recon3d_tpu.camera import Camera
+from recon3d_tpu.config import PatchMatchConfig
+from recon3d_tpu.dense.plane_sweep import (
+    backproject_depth,
+    depth_range_from_poses,
+    depth_range_from_sparse,
+)
+from recon3d_tpu.ops.image import bilinear_sample, box_filter, resize, rgb_to_gray
+
+_HI = jax.lax.Precision.HIGHEST
+_BIG = 1e9  # stand-in for +inf that stays finite under where/argmin
+
+
+class DepthNormalMap(NamedTuple):
+    """Per-view PatchMatch output (reference mvs_patchmatch.py:30-36)."""
+
+    depth: jnp.ndarray       # (H, W)
+    normal: jnp.ndarray      # (H, W, 3), unit, camera frame
+    confidence: jnp.ndarray  # (H, W) number of NCC-consistent source views
+    cost: jnp.ndarray        # (H, W) final matching cost (1 - NCC, averaged)
+
+
+def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift a (H, W, ...) map by (dy, dx), replicating edges."""
+    if dy > 0:
+        x = jnp.concatenate([x[:1]] * dy + [x[:-dy]], axis=0)
+    elif dy < 0:
+        x = jnp.concatenate([x[-dy:]] + [x[-1:]] * (-dy), axis=0)
+    if dx > 0:
+        x = jnp.concatenate([x[:, :1]] * dx + [x[:, :-dx]], axis=1)
+    elif dx < 0:
+        x = jnp.concatenate([x[:, -dx:]] + [x[:, -1:]] * (-dx), axis=1)
+    return x
+
+
+def _warp_sources(depth, rays, R_ref, t_ref, R_srcs, t_srcs, K, src_grays):
+    """Reproject every ref pixel at its depth into each source and sample.
+
+    depth: (H, W); rays: (H, W, 3) = K^-1 [u v 1]^T.
+    Returns sampled (J, H, W) and validity (J, H, W).
+    """
+    Xc = rays * depth[..., None]                       # ref camera frame
+    Xw = jnp.einsum("ji,hwj->hwi", R_ref, Xc - t_ref, precision=_HI)
+
+    def one(src, R, t):
+        Xs = jnp.einsum("ij,hwj->hwi", R, Xw, precision=_HI) + t
+        z = Xs[..., 2]
+        uv = Xs[..., :2] / jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)[..., None]
+        px = jnp.stack(
+            [K[0, 0] * uv[..., 0] + K[0, 2], K[1, 1] * uv[..., 1] + K[1, 2]],
+            axis=-1,
+        )
+        samp, ok = bilinear_sample(src, px)
+        return samp, ok & (z > 0.1)
+
+    return jax.vmap(one)(src_grays, R_srcs, t_srcs)
+
+
+def _ncc_all(ref, warped, ok, patch: int):
+    """Windowed NCC of ref against each warped source. (J, H, W) in [-1, 1]."""
+    def one(src, m):
+        w = m.astype(ref.dtype)
+        cnt = box_filter(w, patch) + 1e-6
+        mr = box_filter(ref * w, patch) / cnt
+        ms = box_filter(src * w, patch) / cnt
+        cov = box_filter(ref * src * w, patch) / cnt - mr * ms
+        vr = jnp.maximum(box_filter(ref * ref * w, patch) / cnt - mr * mr, 1e-8)
+        vs = jnp.maximum(box_filter(src * src * w, patch) / cnt - ms * ms, 1e-8)
+        ncc = jnp.clip(cov / jnp.sqrt(vr * vs), -1.0, 1.0)
+        return jnp.where(m, ncc, -1.0)
+
+    return jax.vmap(one)(warped, ok)
+
+
+def _eval_cost(depth, rays, ref_gray, src_grays, K, R_ref, t_ref,
+               R_srcs, t_srcs, patch: int):
+    """Photo-consistency cost of a depth hypothesis field.
+
+    Returns (cost (H,W), ncc (J,H,W), valid (J,H,W)). Cost is mean (1 - NCC)
+    over valid views; _BIG where <2 views see the point (reference :386-388).
+    """
+    warped, ok = _warp_sources(
+        depth, rays, R_ref, t_ref, R_srcs, t_srcs, K, src_grays
+    )
+    ncc = _ncc_all(ref_gray, warped, ok, patch)
+    cnt = jnp.sum(ok, axis=0)
+    total = jnp.sum(jnp.where(ok, 1.0 - ncc, 0.0), axis=0)
+    cost = total / jnp.maximum(cnt, 1)
+    cost = jnp.where(cnt >= 2, cost, _BIG)
+    return cost, ncc, ok
+
+
+def _normalize(v):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+
+
+def _smooth_field(key, shape, block: int = 8, dist: str = "uniform"):
+    """Random field that is spatially smooth at window scale.
+
+    Full-frame PatchMatch scores a candidate field with windowed NCC on the
+    warped image, so a candidate is only meaningfully evaluated where it is
+    locally coherent — iid per-pixel noise (as in reference :268-272,471-475)
+    makes every NCC window straddle unrelated hypotheses and the evaluation
+    is garbage even at the correct value. Sampling on a (H/block, W/block)
+    grid and bilinearly upsampling keeps candidates coherent over the NCC
+    window while still exploring independently across the image.
+
+    shape: leading dims are batch, last two are (H, W).
+    """
+    H, W = shape[-2], shape[-1]
+    coarse = shape[:-2] + (H // block + 2, W // block + 2)
+    if dist == "uniform":
+        f = jax.random.uniform(key, coarse, jnp.float32, -1.0, 1.0)
+    else:
+        f = jax.random.normal(key, coarse, jnp.float32)
+    return jax.image.resize(f, shape, method="linear")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_iterations", "num_samples", "patch", "ncc_threshold",
+    ),
+)
+def patchmatch_depth(
+    ref_gray: jnp.ndarray,      # (H, W)
+    src_grays: jnp.ndarray,     # (J, H, W)
+    K: jnp.ndarray,             # (3, 3) at working scale
+    R_ref: jnp.ndarray,
+    t_ref: jnp.ndarray,
+    R_srcs: jnp.ndarray,        # (J, 3, 3)
+    t_srcs: jnp.ndarray,        # (J, 3)
+    depth_range: jnp.ndarray,   # (2,) = (dmin, dmax)
+    key: jnp.ndarray,           # jax.random key
+    num_iterations: int = 3,
+    num_samples: int = 8,
+    patch: int = 11,
+    ncc_threshold: float = 0.6,
+) -> DepthNormalMap:
+    """One reference view of PatchMatch MVS as a single fused device program.
+
+    Matches reference _patchmatch_cuda (mvs_patchmatch.py:225-321) capability:
+    log-uniform random depth init, camera-facing perturbed normal init,
+    num_iterations x (spatial propagation + num_samples random refinements),
+    final per-view NCC consistency count.
+    """
+    H, W = ref_gray.shape
+    dmin, dmax = depth_range[0], depth_range[1]
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=ref_gray.dtype),
+        jnp.arange(W, dtype=ref_gray.dtype),
+        indexing="ij",
+    )
+    pix_h = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
+    Kinv = jnp.linalg.inv(K)
+    rays = jnp.einsum("ij,hwj->hwi", Kinv, pix_h, precision=_HI)
+
+    k_depth, k_norm, key = jax.random.split(key, 3)
+    # Log-uniform depth init (reference :268-272), spatially smooth so the
+    # windowed evaluation sees coherent hypotheses (see _smooth_field).
+    u = 0.5 * (_smooth_field(k_depth, (H, W)) + 1.0)
+    depth = jnp.exp(u * (jnp.log(dmax) - jnp.log(dmin)) + jnp.log(dmin))
+    # Camera-facing normals with lateral perturbation (reference :275-281).
+    nxy = _smooth_field(k_norm, (2, H, W), dist="normal") * 0.3
+    normal = _normalize(
+        jnp.concatenate(
+            [jnp.moveaxis(nxy, 0, -1), -jnp.ones((H, W, 1), ref_gray.dtype)],
+            axis=-1,
+        )
+    )
+
+    cost_fn = functools.partial(
+        _eval_cost,
+        rays=rays, ref_gray=ref_gray, src_grays=src_grays, K=K,
+        R_ref=R_ref, t_ref=t_ref, R_srcs=R_srcs, t_srcs=t_srcs, patch=patch,
+    )
+
+    def keep_best(depth, normal, cand_d, cand_n):
+        """Evaluate current map + (C, H, W) candidates in one vmap; keep the
+        per-pixel argmin. The current map is re-scored each round rather than
+        carrying its cost: after a per-pixel mix, window NCC of the assembled
+        field differs from the stored pointwise min (a stale carried cost —
+        as in reference :445-455 — blocks later genuine improvements)."""
+        fields_d = jnp.concatenate([depth[None], cand_d], axis=0)
+        fields_n = jnp.concatenate([normal[None], cand_n], axis=0)
+        costs = jax.vmap(lambda d: cost_fn(d)[0])(fields_d)   # (C+1, H, W)
+        ci = jnp.argmin(costs, axis=0)                        # (H, W)
+        d_sel = jnp.take_along_axis(fields_d, ci[None], axis=0)[0]
+        n_sel = jnp.take_along_axis(fields_n, ci[None, ..., None], axis=0)[0]
+        return d_sel, n_sel
+
+    # Multi-scale ("jump flooding") propagation offsets: good hypotheses
+    # spread exponentially instead of 1 px/iteration (the reference's
+    # shifted-map scheme :415-457 moves information only one pixel per
+    # iteration — far too slow for a 3-iteration budget).
+    steps = (1, 4, 16)
+    shifts = [
+        (dy * s, dx * s)
+        for s in steps
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1))
+    ]
+
+    def iteration(carry, it):
+        # One PatchMatch round as a scan body: compiled once, not unrolled.
+        depth, normal = carry
+        # Spatial propagation: all neighbor hypotheses in one batch.
+        cand_d = jnp.stack([_shift2d(depth, dy, dx) for dy, dx in shifts])
+        cand_n = jnp.stack([_shift2d(normal, dy, dx) for dy, dx in shifts])
+        depth, normal = keep_best(depth, normal, cand_d, cand_n)
+
+        # Random refinement, one batch (reference :459-491): sample s gets an
+        # exponentially smaller perturbation range, so each iteration probes
+        # coarse-to-fine simultaneously instead of one range per iteration.
+        k_it = jax.random.fold_in(key, it)
+        kd, kn = jax.random.split(k_it)
+        scales = 0.5 ** (
+            jnp.arange(num_samples, dtype=ref_gray.dtype) + it
+        )  # (S,)
+        dd = (
+            _smooth_field(kd, (num_samples, H, W))
+            * scales[:, None, None] * (dmax - dmin)
+        )
+        cand_d = jnp.clip(depth[None] + dd, dmin, dmax)
+        dn = (
+            _smooth_field(kn, (num_samples, 3, H, W), dist="normal")
+            * (0.5 * scales)[:, None, None, None]
+        )
+        cand_n = _normalize(normal[None] + jnp.moveaxis(dn, 1, -1))
+        depth, normal = keep_best(depth, normal, cand_d, cand_n)
+        return (depth, normal), None
+
+    (depth, normal), _ = jax.lax.scan(
+        iteration, (depth, normal), jnp.arange(num_iterations)
+    )
+
+    # Final confidence: number of source views with NCC above threshold
+    # (reference _compute_confidence :493-534).
+    cost, ncc, ok = cost_fn(depth)
+    confidence = jnp.sum((ncc > ncc_threshold) & ok, axis=0)
+    return DepthNormalMap(
+        depth=depth, normal=normal, confidence=confidence, cost=cost
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_iterations", "num_samples", "patch", "ncc_threshold",
+    ),
+)
+def patchmatch_depth_batch(
+    ref_grays,    # (B, H, W)
+    src_grays,    # (B, J, H, W)
+    K,            # (3, 3) shared
+    R_refs,       # (B, 3, 3)
+    t_refs,       # (B, 3)
+    R_srcss,      # (B, J, 3, 3)
+    t_srcss,      # (B, J, 3)
+    depth_ranges, # (B, 2)
+    keys,         # (B,) PRNG keys
+    num_iterations: int = 3,
+    num_samples: int = 8,
+    patch: int = 11,
+    ncc_threshold: float = 0.6,
+) -> DepthNormalMap:
+    """Batch of reference views in one device program — the unit that
+    dense/distributed.py shards over chips."""
+
+    def one(rg, sg, Rr, tr, Rs_, ts_, dr, k):
+        return patchmatch_depth(
+            rg, sg, K, Rr, tr, Rs_, ts_, dr, k,
+            num_iterations=num_iterations,
+            num_samples=num_samples,
+            patch=patch,
+            ncc_threshold=ncc_threshold,
+        )
+
+    return jax.vmap(one)(
+        ref_grays, src_grays, R_refs, t_refs, R_srcss, t_srcss,
+        depth_ranges, keys,
+    )
+
+
+def select_source_views(
+    ids: List[int],
+    poses: Dict[int, Tuple[np.ndarray, np.ndarray]],
+    scene_center: np.ndarray,
+    k: int = 4,
+    min_angle_deg: float = 5.0,
+    max_angle_deg: float = 60.0,
+) -> Dict[int, List[int]]:
+    """Score candidate sources by baseline x triangulation-angle suitability
+    (reference _select_source_views mvs_patchmatch.py:193-223): prefer large
+    baselines whose viewing-ray angle at the scene center lies in
+    [min_angle, max_angle]; keep the top k per reference view."""
+    C = {i: -poses[i][0].T @ poses[i][1] for i in ids}
+    out: Dict[int, List[int]] = {}
+    for i in ids:
+        vi = scene_center - C[i]
+        vi = vi / (np.linalg.norm(vi) + 1e-12)
+        scored = []
+        for j in ids:
+            if j == i:
+                continue
+            vj = scene_center - C[j]
+            vj = vj / (np.linalg.norm(vj) + 1e-12)
+            ang = np.degrees(np.arccos(np.clip(vi @ vj, -1.0, 1.0)))
+            baseline = np.linalg.norm(C[i] - C[j])
+            w = 1.0 if min_angle_deg <= ang <= max_angle_deg else 0.1
+            scored.append((baseline * w, j))
+        scored.sort(reverse=True)
+        out[i] = [j for _, j in scored[:k]]
+    return out
+
+
+class PatchMatchMVS:
+    """Dense reconstruction via PatchMatch MVS (reference PatchMatchMVS
+    mvs_patchmatch.py:38-139).
+
+    reconstruct(images, poses, sparse_points) -> (points (N,3) float32,
+    colors (N,3) uint8). `images` is (V, H, W, 3) float32 [0,1] full scale;
+    `poses` a dict {idx: (R, t)} of registered cameras (numpy).
+    """
+
+    def __init__(self, camera: Camera, config: Optional[PatchMatchConfig] = None):
+        self.camera = camera
+        self.config = config or PatchMatchConfig()
+
+    def reconstruct(
+        self,
+        images: np.ndarray,
+        poses: Dict[int, Tuple[np.ndarray, np.ndarray]],
+        sparse_points: Optional[np.ndarray] = None,
+        views_per_batch: int = 4,
+    ):
+        cfg = self.config
+        t0 = time.time()
+        ids = sorted(poses.keys())
+        V = len(ids)
+        J = min(cfg.num_source_views, V - 1)
+        if V < 3 or J < 2:
+            return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
+
+        scale = cfg.scale
+        Hs = int(images.shape[1] * scale)
+        Ws = int(images.shape[2] * scale)
+        K = np.asarray(self.camera.scaled(scale).K, np.float32)
+
+        small = np.asarray(
+            jax.jit(jax.vmap(lambda im: resize(im, (Hs, Ws))))(
+                jnp.asarray(images[ids])
+            )
+        )
+        grays = np.asarray(jax.jit(jax.vmap(rgb_to_gray))(jnp.asarray(small)))
+        row = {i: r for r, i in enumerate(ids)}
+
+        Rs = np.stack([poses[i][0] for i in ids]).astype(np.float32)
+        ts = np.stack([poses[i][1] for i in ids]).astype(np.float32)
+        centers = np.stack([-R.T @ t for R, t in zip(Rs, ts)])
+        scene_center = (
+            np.median(sparse_points, axis=0)
+            if sparse_points is not None and len(sparse_points) >= 20
+            else centers.mean(0) + np.array([0.0, 0.0, 1.0])
+        )
+        sources = select_source_views(
+            ids, poses, scene_center, k=J,
+            min_angle_deg=cfg.min_triangulation_angle_deg,
+            max_angle_deg=cfg.max_triangulation_angle_deg,
+        )
+
+        # Per-view depth ranges (reference _estimate_depth_range :141-165).
+        ranges = []
+        fallback = depth_range_from_poses(Rs, ts)
+        for i in ids:
+            dr = None
+            if sparse_points is not None:
+                dr = depth_range_from_sparse(sparse_points, *poses[i])
+            ranges.append(dr or fallback)
+        ranges = np.asarray(ranges, np.float32)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        maps: Dict[int, DepthNormalMap] = {}
+        for b0 in range(0, V, views_per_batch):
+            batch = ids[b0 : b0 + views_per_batch]
+            nB = len(batch)
+            pad = views_per_batch - nB
+            bid = batch + [batch[-1]] * pad  # pad batch to static size
+            ref_g = jnp.asarray(grays[[row[i] for i in bid]])
+            src_g = jnp.asarray(
+                np.stack([grays[[row[j] for j in sources[i]]] for i in bid])
+            )
+            out = patchmatch_depth_batch(
+                ref_g, src_g, jnp.asarray(K),
+                jnp.asarray(Rs[[row[i] for i in bid]]),
+                jnp.asarray(ts[[row[i] for i in bid]]),
+                jnp.asarray(np.stack([Rs[[row[j] for j in sources[i]]] for i in bid])),
+                jnp.asarray(np.stack([ts[[row[j] for j in sources[i]]] for i in bid])),
+                jnp.asarray(ranges[[row[i] for i in bid]]),
+                jax.random.split(jax.random.fold_in(key, b0), views_per_batch),
+                num_iterations=cfg.num_iterations,
+                num_samples=cfg.num_refine_samples,
+                patch=cfg.patch_size,
+                ncc_threshold=cfg.ncc_confidence_threshold,
+            )
+            for r, i in enumerate(batch):
+                maps[i] = jax.tree.map(lambda a, r=r: a[r], out)
+
+        # Fusion: back-project every confident pixel of every view
+        # (reference _fuse_depth_maps :536-570).
+        min_views = min(cfg.min_views, J)
+        all_pts, all_cols = [], []
+        for i in ids:
+            m = maps[i]
+            valid = np.asarray(m.confidence) >= min_views
+            pts, mask = backproject_depth(
+                m.depth, jnp.asarray(K),
+                jnp.asarray(poses[i][0]), jnp.asarray(poses[i][1]),
+                jnp.asarray(valid),
+            )
+            sel = np.asarray(mask)
+            all_pts.append(np.asarray(pts)[sel])
+            all_cols.append(
+                (small[row[i]].reshape(-1, 3)[sel] * 255).astype(np.uint8)
+            )
+
+        points = np.concatenate(all_pts) if all_pts else np.zeros((0, 3), np.float32)
+        colors = np.concatenate(all_cols) if all_cols else np.zeros((0, 3), np.uint8)
+        if len(points):
+            from recon3d_tpu.dense.filters import (
+                radius_outlier_filter,
+                voxel_downsample,
+            )
+
+            points, colors = radius_outlier_filter(points, colors)
+            points, colors = voxel_downsample(points, colors, cfg.voxel_size)
+        print(
+            f"[patchmatch] {len(points)} points from {V} views "
+            f"({time.time() - t0:.1f}s)"
+        )
+        return points.astype(np.float32), colors

@@ -38,7 +38,7 @@ def _value_noise(u: np.ndarray, v: np.ndarray, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     out = np.zeros_like(u)
     amp = 1.0
-    for octv in range(5):
+    for octv in range(7):
         res = 4 * 2**octv
         grid = rng.random((res + 1, res + 1))
         x = (u * 0.5 + 0.5) * res
