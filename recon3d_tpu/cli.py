@@ -1,0 +1,175 @@
+"""Command-line entry point: images -> sparse + dense PLY point clouds.
+
+Flag surface parity with reference src/run_reconstruction.py:24-44
+(`--neural --mvs --stereo --dense --combined --fast --max-images --output`),
+plus framework-native extras (--calibration, --checkpoint-dir, --seed,
+--profile). The dataset argument accepts either a path to an image directory
+or a bare name resolved under data/samples/ like the reference (:47-50).
+
+Run as `python -m recon3d_tpu.cli <image_dir_or_dataset> [flags]`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="recon3d_tpu",
+        description="TPU-native 3D reconstruction from images",
+    )
+    p.add_argument(
+        "dataset",
+        help="Image directory, or dataset name under data/samples/",
+    )
+    p.add_argument("--max-images", type=int, default=None,
+                   help="Maximum number of images to process")
+    p.add_argument("--dense", action="store_true",
+                   help="Dense SIFT triangulation backend")
+    p.add_argument("--stereo", action="store_true",
+                   help="Plane-sweep stereo backend")
+    p.add_argument("--mvs", action="store_true",
+                   help="PatchMatch MVS backend (best quality)")
+    p.add_argument("--combined", action="store_true",
+                   help="Combined stereo + dense (deprecated; runs both)")
+    p.add_argument("--fast", action="store_true",
+                   help="Fast mode: sparse only, reduced resolution")
+    p.add_argument("--neural", action="store_true",
+                   help="SuperPoint + LightGlue neural matcher")
+    p.add_argument("--output", type=str, default=None,
+                   help="Output directory (default: <dataset>/reconstruction)")
+    p.add_argument("--calibration", type=str, default=None,
+                   help=".npz calibration file (keys mtx, dist)")
+    p.add_argument("--checkpoint-dir", type=str, default=None,
+                   help="Stage checkpoint directory (resume after crash)")
+    p.add_argument("--seed", type=int, default=0, help="PRNG seed")
+    p.add_argument("--profile", type=str, default=None,
+                   help="Write a jax.profiler trace to this directory")
+    return p
+
+
+def resolve_dataset(dataset: str) -> Path:
+    d = Path(dataset)
+    if d.is_dir():
+        return d
+    candidate = Path("data/samples") / dataset
+    if candidate.is_dir():
+        return candidate
+    raise SystemExit(f"ERROR: image directory not found: {dataset}")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    image_dir = resolve_dataset(args.dataset)
+    output_dir = Path(args.output) if args.output else image_dir / "reconstruction"
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    import dataclasses
+
+    from recon3d_tpu.config import ReconstructionConfig
+    from recon3d_tpu.io.ply import save_ply, save_cameras_ply
+    from recon3d_tpu.sfm.pipeline import SfMPipeline
+    from recon3d_tpu.runtime.profiling import StageTimer, maybe_trace
+
+    mode = [
+        m for f, m in [
+            (args.neural, "Neural matching"),
+            (args.mvs, "PatchMatch MVS"),
+            (args.stereo, "Plane-sweep stereo"),
+            (args.dense, "Dense SIFT"),
+            (args.combined, "Combined"),
+            (args.fast, "Fast/sparse"),
+        ] if f
+    ] or ["Sparse"]
+    print(f"recon3d_tpu: {image_dir} -> {output_dir}  [{' + '.join(mode)}]")
+
+    cfg = ReconstructionConfig.fast() if args.fast else ReconstructionConfig()
+    cfg = cfg.replace(sfm=dataclasses.replace(cfg.sfm, seed=args.seed))
+    timer = StageTimer()
+
+    with maybe_trace(args.profile):
+        pipeline = SfMPipeline(
+            calibration_path=args.calibration,
+            fast_mode=args.fast,
+            neural_mode=args.neural,
+            config=cfg,
+        )
+
+        ckpt = None
+        if args.checkpoint_dir:
+            from recon3d_tpu.runtime.checkpoint import StageCheckpointer
+
+            ckpt = StageCheckpointer(args.checkpoint_dir)
+
+        with timer.stage("sparse_sfm"):
+            restored = ckpt.restore_sparse(pipeline) if ckpt else False
+            if restored:
+                print("[ckpt] restored sparse reconstruction")
+                points = np.stack(pipeline.points3d) if pipeline.points3d else np.zeros((0, 3), np.float32)
+                colors = np.stack(pipeline.point_colors) if pipeline.point_colors else np.zeros((0, 3), np.uint8)
+                pipeline.load_images(str(image_dir), args.max_images)
+                poses = dict(pipeline.poses)
+            else:
+                points, colors, _ = pipeline.reconstruct(
+                    str(image_dir), args.max_images
+                )
+                poses = dict(pipeline.poses)
+                if ckpt:
+                    ckpt.save_sparse(pipeline)
+
+        save_ply(str(output_dir / "sparse.ply"), points, colors)
+        pipeline.save_cameras_ply(str(output_dir / "cameras.ply"))
+        print(f"  sparse.ply: {len(points):,} points")
+
+        run_dense = (
+            (args.mvs or args.stereo or args.dense or args.combined)
+            and not args.fast
+        )
+        if run_dense and len(poses) >= 3:
+            camera = pipeline.camera
+            images = pipeline.image_set.color
+
+            if args.mvs:
+                from recon3d_tpu.dense.patchmatch import PatchMatchMVS
+
+                with timer.stage("patchmatch_mvs"):
+                    rec = PatchMatchMVS(camera, cfg.patchmatch)
+                    dp, dc = rec.reconstruct(images, poses, sparse_points=points)
+                if len(dp):
+                    save_ply(str(output_dir / "dense_mvs.ply"), dp, dc)
+                    print(f"  dense_mvs.ply: {len(dp):,} points")
+
+            if args.stereo or args.combined:
+                from recon3d_tpu.dense.plane_sweep import PlaneSweepReconstructor
+
+                with timer.stage("plane_sweep"):
+                    rec = PlaneSweepReconstructor(camera, cfg.plane_sweep)
+                    dp, dc = rec.reconstruct(images, poses, sparse_points=points)
+                if len(dp):
+                    save_ply(str(output_dir / "dense_stereo.ply"), dp, dc)
+                    print(f"  dense_stereo.ply: {len(dp):,} points")
+
+            if args.dense or args.combined:
+                from recon3d_tpu.dense.sift_dense import DenseSiftReconstructor
+
+                with timer.stage("dense_sift"):
+                    rec = DenseSiftReconstructor(camera, cfg.dense_sift)
+                    dp, dc = rec.reconstruct(images, poses)
+                if len(dp):
+                    save_ply(str(output_dir / "dense.ply"), dp, dc)
+                    print(f"  dense.ply: {len(dp):,} points")
+
+    timer.report()
+    print(f"DONE. Results in {output_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

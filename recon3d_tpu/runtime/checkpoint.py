@@ -1,0 +1,92 @@
+"""Stage checkpointing: persist sparse-reconstruction state between pipeline
+stages so a crashed run resumes instead of restarting from zero.
+
+The reference has no checkpointing at all — a crash loses everything
+(SURVEY.md §5 "checkpoint/resume: none"). The SfM driver state is host-side
+numpy (padded device arrays never need to survive a restart), so checkpoints
+are atomic .npz writes, not orbax device-state snapshots.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+SPARSE_NAME = "sparse_state.npz"
+
+
+def _atomic_savez(path: str, **arrays):
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    # suffix must end in .npz or np.savez silently writes to "<tmp>.npz"
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
+    os.close(fd)
+    try:
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+class StageCheckpointer:
+    """Save/restore the sparse SfM result (poses, points, colors).
+
+    Usage:
+        ckpt = StageCheckpointer(dir)
+        ckpt.save_sparse(pipeline)            # after reconstruct()
+        restored = ckpt.restore_sparse(pipeline)  # before reconstruct()
+    """
+
+    def __init__(self, directory: str):
+        self.directory = directory
+
+    @property
+    def sparse_path(self) -> str:
+        return os.path.join(self.directory, SPARSE_NAME)
+
+    def has_sparse(self) -> bool:
+        return os.path.exists(self.sparse_path)
+
+    def save_sparse(self, pipeline) -> None:
+        ids = sorted(pipeline.poses.keys())
+        Rs = np.stack([pipeline.poses[i][0] for i in ids]) if ids else np.zeros((0, 3, 3))
+        ts = np.stack([pipeline.poses[i][1] for i in ids]) if ids else np.zeros((0, 3))
+        points = (
+            np.stack(pipeline.points3d)
+            if pipeline.points3d
+            else np.zeros((0, 3), np.float32)
+        )
+        colors = (
+            np.stack(pipeline.point_colors)
+            if pipeline.point_colors
+            else np.zeros((0, 3), np.uint8)
+        )
+        _atomic_savez(
+            self.sparse_path,
+            pose_ids=np.asarray(ids, np.int64),
+            Rs=Rs.astype(np.float32),
+            ts=ts.astype(np.float32),
+            points=points.astype(np.float32),
+            colors=colors,
+            failed=np.asarray(sorted(pipeline.failed), np.int64),
+        )
+
+    def restore_sparse(self, pipeline) -> bool:
+        """Load a saved sparse state into the pipeline. Returns False if no
+        checkpoint exists."""
+        if not self.has_sparse():
+            return False
+        data = np.load(self.sparse_path)
+        ids = data["pose_ids"].tolist()
+        pipeline.poses = {
+            int(i): (data["Rs"][k], data["ts"][k]) for k, i in enumerate(ids)
+        }
+        pipeline.registered = set(int(i) for i in ids)
+        pipeline.failed = set(int(i) for i in data["failed"].tolist())
+        pipeline.points3d = [p for p in data["points"]]
+        pipeline.point_colors = [c for c in data["colors"]]
+        return True
