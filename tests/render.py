@@ -148,3 +148,50 @@ def render_views(
         depth=depths,
         image_size=image_size,
     )
+
+
+def render_chessboard(
+    K: np.ndarray,
+    dist: np.ndarray,
+    rvec: np.ndarray,
+    tvec: np.ndarray,
+    image_size: Tuple[int, int] = (240, 320),
+    pattern: Tuple[int, int] = (9, 6),
+    blur_sigma: float = 0.8,
+):
+    """Render a chessboard (inner-corner `pattern`, unit squares at integer
+    board coordinates) through the full K+distortion+pose model. Exact GT for
+    calibration tests: the corner pixels are the distorted projections of the
+    integer board points."""
+    import jax
+    import jax.numpy as jnp
+
+    from recon3d_tpu.ops.image import undistort_points, gaussian_blur
+    from recon3d_tpu.ops.lie import so3_exp
+
+    H, W = image_size
+    cols, rows = pattern
+    R = np.asarray(so3_exp(jnp.asarray(rvec, jnp.float32)))
+
+    ys, xs = np.meshgrid(np.arange(H) + 0.0, np.arange(W) + 0.0, indexing="ij")
+    xn = (xs - K[0, 2]) / K[0, 0]
+    yn = (ys - K[1, 2]) / K[1, 1]
+    und = np.asarray(
+        undistort_points(
+            jnp.asarray(np.stack([xn, yn], -1), jnp.float32),
+            jnp.asarray(dist, jnp.float32),
+            iterations=20,
+        )
+    )
+    d = np.concatenate([und, np.ones((H, W, 1))], axis=-1)  # camera-frame rays
+    n = R[:, 2]  # board normal in camera frame
+    denom = d @ n
+    s = (np.asarray(tvec) @ n) / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+    Xc = s[..., None] * d
+    Xb = (Xc - tvec) @ R  # board frame (z ~ 0)
+    u, v = Xb[..., 0], Xb[..., 1]
+    inside = (u > -1) & (u < cols) & (v > -1) & (v < rows) & (s > 0)
+    checker = ((np.floor(u) + np.floor(v)).astype(int) % 2 == 0)
+    img = np.where(inside, np.where(checker, 0.95, 0.08), 0.5).astype(np.float32)
+    img = np.asarray(gaussian_blur(jnp.asarray(img), blur_sigma))
+    return img
