@@ -1,0 +1,105 @@
+"""Worker, GUI helpers, viewer renderer, and COLMAP wrapper tests."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from recon3d_tpu.gui.app import METHOD_PRESETS, find_result_file
+from recon3d_tpu.gui.viewer import (
+    render_pointcloud,
+    render_turntable,
+    subsample_for_display,
+)
+from recon3d_tpu.io.ply import save_ply
+from recon3d_tpu.runtime.worker import (
+    ReconstructionWorker,
+    build_command,
+    sniff_status,
+)
+from recon3d_tpu.tools.run_colmap import (
+    QUALITY_SETTINGS,
+    build_stage_commands,
+    find_colmap,
+    run_colmap_reconstruction,
+)
+
+
+def test_build_command_mapping():
+    # custom pipeline flag mapping (reference worker.py:74-94)
+    cmd = build_command("/d", {"neural": True, "mvs": True, "max_images": 7})
+    assert "recon3d_tpu.cli" in cmd and "--neural" in cmd and "--mvs" in cmd
+    assert cmd[cmd.index("--max-images") + 1] == "7"
+    cmd = build_command("/d", {})
+    assert "--fast" in cmd  # sparse default
+    cmd = build_command("/d", {"method": "colmap_sparse", "use_gpu": False})
+    assert "recon3d_tpu.tools.run_colmap" in cmd
+    assert "--sparse-only" in cmd and "--no-gpu" in cmd
+    # mvs wins over stereo/dense, like the reference's elif chain
+    cmd = build_command("/d", {"mvs": True, "stereo": True, "dense": True})
+    assert "--mvs" in cmd and "--stereo" not in cmd and "--dense" not in cmd
+
+
+def test_sniff_status_keywords():
+    assert "1/4" in sniff_status("extracting features from 10 images")
+    assert "2/4" in sniff_status("[sfm] matching 45 pairs")
+    assert "4/4" in sniff_status("[patchmatch] 1234 points")
+    assert sniff_status("unrelated line") is None
+
+
+def test_worker_runs_subprocess(tmp_path):
+    """The worker must spawn a real subprocess and stream its output; use a
+    bad dataset so the CLI exits non-zero quickly."""
+    logs, statuses, done = [], [], []
+    w = ReconstructionWorker(
+        on_log=logs.append, on_status=statuses.append, on_finished=done.append
+    )
+    ok = w.run(str(tmp_path / "missing_dir"), {})
+    assert ok is False and done == [False]
+    assert any("Executing:" in l for l in logs)
+
+
+def test_method_presets_and_result_discovery(tmp_path):
+    assert len(METHOD_PRESETS) == 8  # reference main_app.py:79-86
+    assert find_result_file(str(tmp_path)) is None
+    save_ply(str(tmp_path / "sparse.ply"), np.zeros((1, 3), np.float32))
+    save_ply(str(tmp_path / "dense_mvs.ply"), np.zeros((1, 3), np.float32))
+    # dense preferred over sparse (reference :285-293)
+    assert find_result_file(str(tmp_path)).endswith("dense_mvs.ply")
+
+
+def test_render_pointcloud_and_turntable(tmp_path):
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(5000, 3)).astype(np.float32)
+    cols = rng.integers(0, 255, (5000, 3)).astype(np.uint8)
+    img = render_pointcloud(pts, cols, image_size=(120, 160))
+    assert img.shape == (120, 160, 3) and img.dtype == np.uint8
+    # some points must have been splatted (image isn't all background)
+    assert (img > 40).any()
+
+    ply = str(tmp_path / "cloud.ply")
+    save_ply(ply, pts, cols)
+    paths = render_turntable(ply, str(tmp_path / "view"), n_frames=3,
+                             image_size=(60, 80))
+    assert len(paths) == 3 and all(os.path.exists(p) for p in paths)
+
+    sub_p, sub_c = subsample_for_display(pts, cols, max_points=100)
+    assert len(sub_p) == 100 and len(sub_c) == 100
+
+
+def test_colmap_wrapper_gated(tmp_path):
+    cmds = build_stage_commands(
+        "colmap", Path("/tmp/x"), use_gpu=False, quality="high", dense=True
+    )
+    assert len(cmds) == 7  # 4 sparse + 3 dense stages
+    assert cmds[0][1] == "feature_extractor"
+    assert "--SiftExtraction.use_gpu" in cmds[0]
+    assert any("16384" in c for c in cmds[0])  # high preset
+    sparse_only = build_stage_commands(
+        "colmap", Path("/tmp/x"), True, "low", dense=False
+    )
+    assert len(sparse_only) == 4
+    if find_colmap() is None:
+        # graceful degradation without the binary
+        assert run_colmap_reconstruction(str(tmp_path), str(tmp_path / "o")) is False
