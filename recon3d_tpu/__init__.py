@@ -19,6 +19,9 @@ from recon3d_tpu.camera import Camera, CameraPose, load_calibration
 from recon3d_tpu.config import ReconstructionConfig
 from recon3d_tpu.sfm.pipeline import SfMPipeline
 from recon3d_tpu.io.ply import load_ply, save_ply, save_cameras_ply
+from recon3d_tpu.dense.patchmatch import PatchMatchMVS
+from recon3d_tpu.dense.plane_sweep import PlaneSweepReconstructor
+from recon3d_tpu.dense.sift_dense import DenseSiftReconstructor
 
 __version__ = "0.1.0"
 
@@ -28,6 +31,9 @@ __all__ = [
     "load_calibration",
     "ReconstructionConfig",
     "SfMPipeline",
+    "PatchMatchMVS",
+    "PlaneSweepReconstructor",
+    "DenseSiftReconstructor",
     "load_ply",
     "save_ply",
     "save_cameras_ply",

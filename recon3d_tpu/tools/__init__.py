@@ -1,0 +1,1 @@
+"""External-tool integrations (reference src/tools/)."""
