@@ -79,6 +79,11 @@ def save_ply(
     else:
         with open(path, "w") as f:
             f.write(header)
+        from recon3d_tpu.runtime.native import native_ply_write_ascii
+
+        if n and native_ply_write_ascii(path, points, colors):
+            return
+        with open(path, "a") as f:
             # Vectorized row formatting (the reference loops in Python).
             cols = np.concatenate([points.astype(np.float64), colors.astype(np.int64)], axis=1)
             lines = [
@@ -155,7 +160,11 @@ def load_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         fmt, n, props, offset = _parse_header(f)
         names = [p[0] for p in props]
         if fmt == "ascii":
-            data = np.loadtxt(f, dtype=np.float64, max_rows=n, ndmin=2)
+            from recon3d_tpu.runtime.native import native_ply_parse_ascii
+
+            data = native_ply_parse_ascii(path, offset, n, len(props))
+            if data is None:
+                data = np.loadtxt(f, dtype=np.float64, max_rows=n, ndmin=2)
             if data.size == 0:
                 return np.zeros((0, 3), np.float32), None
             rec = {name: data[:, i] for i, (name, _) in enumerate(props)}

@@ -50,6 +50,24 @@ def _load():
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float),
             ]
+            try:
+                lib.ply_write_ascii_rows.restype = ctypes.c_int
+                lib.ply_write_ascii_rows.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_longlong,
+                ]
+                lib.ply_parse_ascii_rows.restype = ctypes.c_longlong
+                lib.ply_parse_ascii_rows.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_double),
+                ]
+            except AttributeError:
+                pass  # older .so without the PLY entry points
             _LIB = lib
             break
     return _LIB
@@ -91,5 +109,43 @@ def native_knn_mean_dist(points: np.ndarray, k: int) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     if rc != 0:
+        return None
+    return out
+
+
+def native_ply_write_ascii(
+    path: str, points: np.ndarray, colors: np.ndarray
+) -> bool:
+    """Append ASCII vertex rows to `path` (header already written)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ply_write_ascii_rows"):
+        return False
+    pts = np.ascontiguousarray(points, np.float32)
+    cols = np.ascontiguousarray(colors, np.uint8)
+    rc = lib.ply_write_ascii_rows(
+        path.encode(),
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.c_longlong(len(pts)),
+    )
+    return rc == 0
+
+
+def native_ply_parse_ascii(
+    path: str, offset: int, n: int, n_props: int
+) -> Optional[np.ndarray]:
+    """Parse n ASCII vertex rows of n_props numbers -> (n, n_props) float64."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ply_parse_ascii_rows"):
+        return None
+    out = np.empty((n, n_props), np.float64)
+    got = lib.ply_parse_ascii_rows(
+        path.encode(),
+        ctypes.c_longlong(offset),
+        ctypes.c_longlong(n),
+        ctypes.c_int(n_props),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if got != n:
         return None
     return out
