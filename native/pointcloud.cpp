@@ -188,10 +188,23 @@ long long ply_parse_ascii_rows(const char* path, long long offset,
         while (p < lim && (*p == ' ' || *p == '\n' || *p == '\r' || *p == '\t'))
             ++p;
         if (p >= lim) return i / n_props;
-        // fast fixed-decimal parse (sign, int part, fraction, exponent)
+        // fast fixed-decimal parse (sign, int part, fraction, exponent,
+        // nan/inf tokens)
         bool neg = false;
         if (*p == '-') { neg = true; ++p; }
         else if (*p == '+') ++p;
+        if (p + 2 < lim && (*p == 'n' || *p == 'N')) {
+            out[i] = std::nan("");
+            p += 3;  // "nan"
+            continue;
+        }
+        if (p + 2 < lim && (*p == 'i' || *p == 'I')) {
+            out[i] = neg ? -HUGE_VAL : HUGE_VAL;
+            p += 3;  // "inf"
+            if (p + 4 < lim && (*p == 'i' || *p == 'I')) p += 5;  // "inity"
+            continue;
+        }
+        const char* digits_start = p;
         double v = 0.0;
         while (p < lim && *p >= '0' && *p <= '9')
             v = v * 10.0 + (*p++ - '0');
@@ -204,6 +217,8 @@ long long ply_parse_ascii_rows(const char* path, long long offset,
             }
             v += frac / scale;
         }
+        if (p == digits_start && (p >= lim || *p != '.'))
+            return i / n_props;  // no progress: malformed token
         if (p < lim && (*p == 'e' || *p == 'E')) {
             ++p;
             bool eneg = false;
