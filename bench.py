@@ -73,13 +73,16 @@ def main():
     # Warm-up / compile.
     jax.block_until_ready(run(0))
 
-    reps = 20
-    t0 = time.perf_counter()
-    outs = [run(r + 1) for r in range(reps)]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+    # Best of 3 windows: robust against transient host/tunnel contention.
+    reps = 8
+    best_dt = float("inf")
+    for w in range(3):
+        t0 = time.perf_counter()
+        outs = [run(w * reps + r + 1) for r in range(reps)]
+        jax.block_until_ready(outs)
+        best_dt = min(best_dt, time.perf_counter() - t0)
 
-    mp_s = Hs * Ws * V * reps / 1e6 / dt
+    mp_s = Hs * Ws * V * reps / 1e6 / best_dt
     print(
         json.dumps(
             {

@@ -103,19 +103,13 @@ def _warp_sources(depth, rays, R_ref, t_ref, R_srcs, t_srcs, K, src_grays):
 
 
 def _ncc_all(ref, warped, ok, patch: int):
-    """Windowed NCC of ref against each warped source. (J, H, W) in [-1, 1]."""
-    def one(src, m):
-        w = m.astype(ref.dtype)
-        cnt = box_filter(w, patch) + 1e-6
-        mr = box_filter(ref * w, patch) / cnt
-        ms = box_filter(src * w, patch) / cnt
-        cov = box_filter(ref * src * w, patch) / cnt - mr * ms
-        vr = jnp.maximum(box_filter(ref * ref * w, patch) / cnt - mr * mr, 1e-8)
-        vs = jnp.maximum(box_filter(src * src * w, patch) / cnt - ms * ms, 1e-8)
-        ncc = jnp.clip(cov / jnp.sqrt(vr * vs), -1.0, 1.0)
-        return jnp.where(m, ncc, -1.0)
+    """Windowed NCC of ref against each warped source. (J, H, W) in [-1, 1].
 
-    return jax.vmap(one)(warped, ok)
+    Dispatches to the fused Pallas kernel on TPU (ops/ncc.py) and the XLA
+    box-filter formulation elsewhere."""
+    from recon3d_tpu.ops.ncc import ncc_windowed
+
+    return ncc_windowed(ref, warped, ok, patch)
 
 
 def _eval_cost(depth, rays, ref_gray, src_grays, K, R_ref, t_ref,

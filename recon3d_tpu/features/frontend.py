@@ -130,3 +130,92 @@ def _verify_pair(xy1, xy2, idx2, mask, key, threshold_px, num_hypotheses):
         num_hypotheses=num_hypotheses,
     )
     return x1, x2, res
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ratio", "cross_check", "num_hypotheses")
+)
+def _match_verify_batch(
+    desc,      # (V, K, D)
+    valid,     # (V, K) float
+    xy,        # (V, K, 2)
+    pi,        # (P,) pair first-image indices
+    pj,        # (P,)
+    keys,      # (P,) PRNG keys
+    threshold_px,
+    ratio: float = 0.75,
+    cross_check: bool = True,
+    num_hypotheses: int = 1024,
+):
+    """Match + F-RANSAC for a whole batch of image pairs in ONE device
+    program (SURVEY.md §7: the per-pair FLANN loop of the reference,
+    sfm_pipeline.py:188-208, becomes a vmapped pair axis). Uses the
+    streaming matcher so the distance matrices never materialize.
+
+    Returns per-pair (idx2 (P,K), inlier_mask (P,K), F (P,3,3),
+    num_inliers (P,), num_raw (P,))."""
+    from recon3d_tpu.ops.match import match_descriptors_streaming
+
+    def one(i, j, key):
+        m = match_descriptors_streaming(
+            desc[i], desc[j], valid[i], valid[j],
+            ratio=ratio, cross_check=cross_check,
+        )
+        x1 = jnp.where(m.mask[:, None], xy[i], 0.0)
+        x2 = jnp.where(
+            m.mask[:, None], xy[j][jnp.clip(m.idx2, 0, None)], 0.0
+        )
+        res = estimate_fundamental_ransac(
+            key, x1, x2, m.mask.astype(jnp.float32),
+            threshold_px=threshold_px, num_hypotheses=num_hypotheses,
+        )
+        return (
+            m.idx2,
+            m.mask & res.inliers,
+            res.F,
+            res.num_inliers,
+            m.num_matches,
+        )
+
+    return jax.vmap(one)(pi, pj, keys)
+
+
+def match_pairs_batched(
+    features,                 # list of SiftFeatures (shared capacity K)
+    pairs,                    # list[(i, j)]
+    key: jax.Array,
+    config: Optional[MatchConfig] = None,
+    chunk: int = 16,
+):
+    """Host-facing batched pair matching: stacks the per-image features once
+    and runs _match_verify_batch over pair chunks.
+
+    Yields (i, j, idx1, idx2, F, n_inliers, n_raw) numpy tuples for pairs
+    passing nothing — the caller applies min_matches gates."""
+    cfg = config or MatchConfig()
+    desc = jnp.stack([f.desc for f in features])
+    valid = jnp.stack([f.valid.astype(jnp.float32) for f in features])
+    xy = jnp.stack([f.xy for f in features])
+    out = []
+    for c0 in range(0, len(pairs), chunk):
+        batch = pairs[c0 : c0 + chunk]
+        nb = len(batch)
+        padded = batch + [batch[-1]] * (chunk - nb)
+        pi = jnp.asarray([p[0] for p in padded], jnp.int32)
+        pj = jnp.asarray([p[1] for p in padded], jnp.int32)
+        keys = jax.random.split(jax.random.fold_in(key, c0), chunk)
+        idx2, inl, F, n_inl, n_raw = _match_verify_batch(
+            desc, valid, xy, pi, pj, keys,
+            jnp.float32(cfg.ransac_threshold_px),
+            ratio=cfg.ratio,
+            cross_check=cfg.cross_check,
+            num_hypotheses=cfg.ransac_hypotheses,
+        )
+        idx2 = np.asarray(idx2)
+        inl = np.asarray(inl)
+        F = np.asarray(F)
+        n_inl = np.asarray(n_inl)
+        n_raw = np.asarray(n_raw)
+        for r, (i, j) in enumerate(batch):
+            out.append((i, j, inl[r], idx2[r], F[r], int(n_inl[r]), int(n_raw[r])))
+    return out

@@ -98,3 +98,86 @@ def gather_matched_points(
     x1 = jnp.where(match.mask[:, None], xy1, 0.0)
     x2 = jnp.where(match.mask[:, None], xy2[jnp.clip(match.idx2, 0, None)], 0.0)
     return x1, x2
+
+
+def match_descriptors_streaming(
+    d1: jnp.ndarray,
+    d2: jnp.ndarray,
+    valid1: jnp.ndarray,
+    valid2: jnp.ndarray,
+    ratio: float = 0.75,
+    cross_check: bool = True,
+    block: int = 1024,
+) -> MatchResult:
+    """match_descriptors without materializing the (N, M) distance matrix.
+
+    Scans over column blocks of d2, keeping a running top-2 per row (for the
+    ratio test) and a per-column row-argmin (for the cross-check). Peak
+    memory is O(N * block) instead of O(N * M) — at the default 8k-keypoint
+    budget that is 32 MB instead of 256 MB per pair, which is what makes
+    vmapping many pairs into one device program possible.
+    """
+    N, D = d1.shape
+    M = d2.shape[0]
+    nb = (M + block - 1) // block
+    Mp = nb * block
+    pad = Mp - M
+    d2p = jnp.pad(d2, ((0, pad), (0, 0)))
+    v2p = jnp.pad(valid2, (0, pad))
+    d2b = d2p.reshape(nb, block, D)
+    v2b = v2p.reshape(nb, block)
+
+    n1 = jnp.sum(d1 * d1, axis=-1)
+    big = jnp.float32(1e30)
+
+    def step(carry, blk):
+        best, second, nn = carry
+        db, vb, base = blk
+        n2 = jnp.sum(db * db, axis=-1)
+        cross = jnp.matmul(d1, db.T, precision=_HI)  # (N, B)
+        dd = jnp.maximum(n1[:, None] + n2[None, :] - 2.0 * cross, 0.0)
+        dd = jnp.where(vb[None, :] > 0, dd, big)
+
+        # block top-2 per row, then merge with the running top-2
+        neg_vals, idx = jax.lax.top_k(-dd, 2)
+        b1, b2 = -neg_vals[:, 0], -neg_vals[:, 1]
+        i1 = base + idx[:, 0]
+
+        # merge (best, second) with (b1, b2): new best/second of the union
+        nbest = jnp.minimum(best, b1)
+        nsecond = jnp.minimum(
+            jnp.maximum(best, b1), jnp.minimum(second, b2)
+        )
+        nnn = jnp.where(b1 < best, i1, nn)
+
+        # per-column row-argmin of this block (for mutual cross-check)
+        col_arg = jnp.argmin(
+            jnp.where(valid1[:, None] > 0, dd, big), axis=0
+        ).astype(jnp.int32)
+        return (nbest, nsecond, nnn), col_arg
+
+    base_idx = (jnp.arange(nb) * block).astype(jnp.int32)
+    init = (
+        jnp.full((N,), big),
+        jnp.full((N,), big),
+        jnp.zeros((N,), jnp.int32),
+    )
+    (best, second, nn), col_args = jax.lax.scan(
+        step, init, (d2b, v2b, base_idx)
+    )
+    back = col_args.reshape(-1)[:M]  # (M,) row index minimizing each column
+
+    ratio_ok = best < (ratio * ratio) * second
+    ok = ratio_ok & (valid1 > 0) & (best < big)
+    if cross_check:
+        mutual = back[jnp.clip(nn, 0, M - 1)] == jnp.arange(N)
+        ok = ok & mutual
+
+    idx1 = jnp.arange(N, dtype=jnp.int32)
+    idx2 = jnp.where(ok, nn, -1)
+    return MatchResult(
+        idx1=idx1,
+        idx2=idx2,
+        distance=jnp.sqrt(jnp.where(best < big, best, 0.0)),
+        mask=ok,
+    )

@@ -206,12 +206,40 @@ class SfMPipeline:
         return sorted(pairs)
 
     def match_image_pairs(self):
-        """Geometric matching of candidate pairs (reference :158-246)."""
+        """Geometric matching of candidate pairs (reference :158-246).
+
+        The classical frontend matches whole pair CHUNKS in one device
+        program (vmapped streaming matcher + F-RANSAC, frontend.py
+        match_pairs_batched) — the reference's per-pair FLANN loop
+        (:188-208) becomes a batch axis. The neural frontend keeps the
+        per-pair path (LightGlue state is per-pair anyway)."""
         t0 = time.time()
         n = len(self.features)
         pairs = self._candidate_pairs(n)
         kept = 0
-        for (i, j) in pairs:
+        if not self.neural_mode and pairs:
+            from recon3d_tpu.features.frontend import match_pairs_batched
+
+            results = match_pairs_batched(
+                self.features, pairs, self._next_key(), self.config.match
+            )
+            for (i, j, inl, idx2, F, n_inl, n_raw) in results:
+                if (
+                    n_raw >= self.config.match.min_matches
+                    and n_inl >= self.config.match.min_matches
+                ):
+                    sel = np.flatnonzero(inl)
+                    self.matches[(i, j)] = dict(
+                        idx1=sel,
+                        idx2=idx2[sel],
+                        F=F,
+                        n=len(sel),
+                    )
+                    kept += 1
+            pairs_iter = []
+        else:
+            pairs_iter = pairs
+        for (i, j) in pairs_iter:
             m, F, n_inl = self.matcher.match_pair_geometric(
                 self.features[i], self.features[j], self._next_key()
             )
