@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0, help="PRNG seed")
     p.add_argument("--profile", type=str, default=None,
                    help="Write a jax.profiler trace to this directory")
+    p.add_argument("--stats-json", type=str, default=None,
+                   help="Write pipeline statistics + stage timings to a JSON file")
     return p
 
 
@@ -167,6 +169,15 @@ def main(argv=None) -> int:
                     print(f"  dense.ply: {len(dp):,} points")
 
     timer.report()
+    if args.stats_json:
+        import json
+
+        stats = dict(pipeline.stats)
+        stats["stage_times_s"] = timer.as_dict()
+        stats["num_sparse_points"] = int(len(points))
+        with open(args.stats_json, "w") as f:
+            json.dump(stats, f, indent=2, default=float)
+        print(f"  stats -> {args.stats_json}")
     print(f"DONE. Results in {output_dir}")
     return 0
 

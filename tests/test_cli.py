@@ -38,12 +38,20 @@ def test_resolve_dataset_errors():
 
 def test_cli_sparse_end_to_end(image_dir, tmp_path):
     out = tmp_path / "recon"
-    rc = main([image_dir, "--fast", "--output", str(out), "--seed", "1"])
+    stats = tmp_path / "stats.json"
+    rc = main([image_dir, "--fast", "--output", str(out), "--seed", "1",
+               "--stats-json", str(stats)])
     assert rc == 0
     pts, cols = load_ply(str(out / "sparse.ply"))
     assert len(pts) > 100, f"sparse cloud too small: {len(pts)}"
     cam_pts, _ = load_ply(str(out / "cameras.ply"))
     assert len(cam_pts) >= 8  # >=4 cameras x (center + forward)
+    import json
+
+    s = json.loads(stats.read_text())
+    assert s["num_sparse_points"] == len(pts)
+    assert s["num_cameras"] >= 4 and "stage_times_s" in s
+    assert s["mean_reproj_px"] < 2.0
 
 
 def test_cli_checkpoint_resume(image_dir, tmp_path):
