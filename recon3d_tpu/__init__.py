@@ -15,6 +15,26 @@ Design principles (TPU-first, not a port):
   - Host-side runtime (PLY I/O, voxel hashing) has a native C++ fast path.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: incremental SfM compiles a few dozen
+# distinct kernels (per padded shape bucket); caching them across processes
+# turns every run after the first into a near-zero-compile run. Opt out with
+# RECON3D_NO_COMPILE_CACHE=1.
+if not _os.environ.get("RECON3D_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "RECON3D_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "recon3d_tpu", "xla"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 from recon3d_tpu.camera import Camera, CameraPose, load_calibration
 from recon3d_tpu.config import ReconstructionConfig
 from recon3d_tpu.sfm.pipeline import SfMPipeline

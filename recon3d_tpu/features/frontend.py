@@ -190,12 +190,30 @@ def match_pairs_batched(
     """Host-facing batched pair matching: stacks the per-image features once
     and runs _match_verify_batch over pair chunks.
 
-    Yields (i, j, idx1, idx2, F, n_inliers, n_raw) numpy tuples for pairs
-    passing nothing — the caller applies min_matches gates."""
+    Features are first COMPACTED to the smallest power-of-2 capacity holding
+    every image's valid keypoints: the extraction capacity is a worst-case
+    budget (e.g. 8192) while typical images yield far fewer keypoints, and
+    matching cost is quadratic in the padded size. idx1/idx2 in the returned
+    tuples are translated back to original keypoint indices.
+
+    Returns (i, j, idx1, idx2, F, n_inliers, n_raw) numpy tuples with idx1/
+    idx2 the ORIGINAL keypoint indices of the geometric inliers; the caller
+    applies min_matches gates."""
     cfg = config or MatchConfig()
-    desc = jnp.stack([f.desc for f in features])
-    valid = jnp.stack([f.valid.astype(jnp.float32) for f in features])
-    xy = jnp.stack([f.xy for f in features])
+    valid_np = np.stack([np.asarray(f.valid) for f in features])
+    counts = valid_np.sum(1).astype(int)
+    K = valid_np.shape[1]
+    C = 1 << max(8, int(np.ceil(np.log2(max(1, counts.max())))))
+    C = min(C, K)
+    # stable compaction: valid entries first, remember original indices
+    order = np.argsort(~valid_np, axis=1, kind="stable")[:, :C]  # (V, C)
+    oj = jnp.asarray(order)
+
+    desc = jnp.stack([f.desc[oj[v]] for v, f in enumerate(features)])
+    valid = jnp.stack(
+        [f.valid[oj[v]].astype(jnp.float32) for v, f in enumerate(features)]
+    )
+    xy = jnp.stack([f.xy[oj[v]] for v, f in enumerate(features)])
     out = []
     for c0 in range(0, len(pairs), chunk):
         batch = pairs[c0 : c0 + chunk]
@@ -217,5 +235,11 @@ def match_pairs_batched(
         n_inl = np.asarray(n_inl)
         n_raw = np.asarray(n_raw)
         for r, (i, j) in enumerate(batch):
-            out.append((i, j, inl[r], idx2[r], F[r], int(n_inl[r]), int(n_raw[r])))
+            # translate compacted positions back to original keypoint ids
+            sel = np.flatnonzero(inl[r])
+            idx1_orig = order[i][sel]
+            idx2_orig = order[j][np.clip(idx2[r][sel], 0, C - 1)]
+            out.append(
+                (i, j, idx1_orig, idx2_orig, F[r], int(n_inl[r]), int(n_raw[r]))
+            )
     return out

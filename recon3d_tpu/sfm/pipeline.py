@@ -223,17 +223,16 @@ class SfMPipeline:
             results = match_pairs_batched(
                 self.features, pairs, self._next_key(), self.config.match
             )
-            for (i, j, inl, idx2, F, n_inl, n_raw) in results:
+            for (i, j, idx1, idx2, F, n_inl, n_raw) in results:
                 if (
                     n_raw >= self.config.match.min_matches
                     and n_inl >= self.config.match.min_matches
                 ):
-                    sel = np.flatnonzero(inl)
                     self.matches[(i, j)] = dict(
-                        idx1=sel,
-                        idx2=idx2[sel],
+                        idx1=idx1,
+                        idx2=idx2,
                         F=F,
-                        n=len(sel),
+                        n=len(idx1),
                     )
                     kept += 1
             pairs_iter = []
