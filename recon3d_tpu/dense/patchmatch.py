@@ -387,12 +387,17 @@ class PatchMatchMVS:
         Ws = int(images.shape[2] * scale)
         K = np.asarray(self.camera.scaled(scale).K, np.float32)
 
-        small = np.asarray(
-            jax.jit(jax.vmap(lambda im: resize(im, (Hs, Ws))))(
-                jnp.asarray(images[ids])
+        # Ship images to the device as uint8 (4x less transfer — the
+        # host<->device link, not compute, bounds this stage) and convert +
+        # resize on device.
+        img_u8 = np.clip(images[ids] * 255.0, 0, 255).astype(np.uint8)
+        small_d = jax.jit(
+            jax.vmap(
+                lambda im: resize(im.astype(jnp.float32) / 255.0, (Hs, Ws))
             )
-        )
-        grays = np.asarray(jax.jit(jax.vmap(rgb_to_gray))(jnp.asarray(small)))
+        )(jnp.asarray(img_u8))
+        small = np.asarray(small_d)
+        grays = np.asarray(jax.jit(jax.vmap(rgb_to_gray))(small_d))
         row = {i: r for r, i in enumerate(ids)}
 
         Rs = np.stack([poses[i][0] for i in ids]).astype(np.float32)
@@ -419,6 +424,7 @@ class PatchMatchMVS:
             ranges.append(dr or fallback)
         ranges = np.asarray(ranges, np.float32)
 
+        t_prep = time.time() - t0
         key = jax.random.PRNGKey(cfg.seed)
         maps: Dict[int, DepthNormalMap] = {}
         for b0 in range(0, V, views_per_batch):
@@ -446,26 +452,32 @@ class PatchMatchMVS:
             for r, i in enumerate(batch):
                 maps[i] = jax.tree.map(lambda a, r=r: a[r], out)
 
-        # Fusion: back-project every confident pixel of every view
-        # (reference _fuse_depth_maps :536-570).
+        t_depth = time.time() - t0 - t_prep
+        # Fusion: back-project every confident pixel of every view in ONE
+        # vmapped call (reference _fuse_depth_maps :536-570 loops views).
         min_views = min(cfg.min_views, J)
-        all_pts, all_cols = [], []
-        for i in ids:
-            m = maps[i]
-            valid = np.asarray(m.confidence) >= min_views
-            pts, mask = backproject_depth(
-                m.depth, jnp.asarray(K),
-                jnp.asarray(poses[i][0]), jnp.asarray(poses[i][1]),
-                jnp.asarray(valid),
+        depth_all = jnp.stack([maps[i].depth for i in ids])
+        conf_all = jnp.stack([maps[i].confidence for i in ids])
+        fuse = jax.jit(
+            jax.vmap(
+                lambda d, R, t, v: backproject_depth(
+                    d, jnp.asarray(K), R, t, v
+                )
             )
-            sel = np.asarray(mask)
-            all_pts.append(np.asarray(pts)[sel])
-            all_cols.append(
-                (small[row[i]].reshape(-1, 3)[sel] * 255).astype(np.uint8)
-            )
-
-        points = np.concatenate(all_pts) if all_pts else np.zeros((0, 3), np.float32)
-        colors = np.concatenate(all_cols) if all_cols else np.zeros((0, 3), np.uint8)
+        )
+        pts_b, mask_b = fuse(
+            depth_all,
+            jnp.asarray(Rs), jnp.asarray(ts),
+            conf_all >= min_views,
+        )
+        pts_b = np.asarray(pts_b)        # (V, h*w, 3)
+        mask_b = np.asarray(mask_b)      # (V, h*w)
+        sel = mask_b.reshape(-1)
+        points = pts_b.reshape(-1, 3)[sel].astype(np.float32)
+        colors = (
+            small[[row[i] for i in ids]].reshape(-1, 3)[sel] * 255
+        ).astype(np.uint8)
+        t_fuse = time.time() - t0 - t_prep - t_depth
         if len(points):
             from recon3d_tpu.dense.filters import (
                 radius_outlier_filter,
@@ -474,8 +486,10 @@ class PatchMatchMVS:
 
             points, colors = radius_outlier_filter(points, colors)
             points, colors = voxel_downsample(points, colors, cfg.voxel_size)
+        t_filter = time.time() - t0 - t_prep - t_depth - t_fuse
         print(
             f"[patchmatch] {len(points)} points from {V} views "
-            f"({time.time() - t0:.1f}s)"
+            f"({time.time() - t0:.1f}s: prep {t_prep:.1f}, depth {t_depth:.1f}, "
+            f"fuse {t_fuse:.1f}, filter {t_filter:.1f})"
         )
         return points.astype(np.float32), colors

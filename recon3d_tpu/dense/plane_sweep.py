@@ -223,12 +223,17 @@ class PlaneSweepReconstructor:
         Ws = int(images.shape[2] * scale)
         K = np.asarray(self.camera.scaled(scale).K)
 
-        small = np.asarray(
-            jax.jit(jax.vmap(lambda im: resize(im, (Hs, Ws))))(
-                jnp.asarray(images[ids])
+        # Ship images to the device as uint8 (4x less transfer — the
+        # host<->device link, not compute, bounds this stage) and convert +
+        # resize on device.
+        img_u8 = np.clip(images[ids] * 255.0, 0, 255).astype(np.uint8)
+        small_d = jax.jit(
+            jax.vmap(
+                lambda im: resize(im.astype(jnp.float32) / 255.0, (Hs, Ws))
             )
-        )
-        grays = np.asarray(jax.jit(jax.vmap(rgb_to_gray))(jnp.asarray(small)))
+        )(jnp.asarray(img_u8))
+        small = np.asarray(small_d)
+        grays = np.asarray(jax.jit(jax.vmap(rgb_to_gray))(small_d))
         id_row = {i: r for r, i in enumerate(ids)}
 
         Rs = np.stack([poses[i][0] for i in ids])
@@ -241,32 +246,53 @@ class PlaneSweepReconstructor:
 
         max_refs = max_ref_views or cfg.max_ref_views
         step = max(1, V // max_refs)
-        ref_ids = ids[::step]
+        ref_ids = [i for i in ids[::step]]
         neighbors = self._neighbors(ids, poses, cfg.num_neighbors)
+        ref_ids = [i for i in ref_ids if len(neighbors[i]) >= 1]
+        J = min(cfg.num_neighbors, V - 1)
+
+        # All reference views sweep as ONE vmapped batch (the reference
+        # loops them serially on one GPU, dense_stereo.py:105-130); this is
+        # also the multi-chip axis (dense/distributed.py).
+        ref_g = jnp.asarray(grays[[id_row[i] for i in ref_ids]])
+        src_g = jnp.asarray(
+            np.stack([grays[[id_row[j] for j in neighbors[i][:J]]] for i in ref_ids])
+        )
+        R_refs = jnp.asarray(np.stack([poses[i][0] for i in ref_ids]))
+        t_refs = jnp.asarray(np.stack([poses[i][1] for i in ref_ids]))
+        R_srcs = jnp.asarray(
+            np.stack([np.stack([poses[j][0] for j in neighbors[i][:J]]) for i in ref_ids])
+        )
+        t_srcs = jnp.asarray(
+            np.stack([np.stack([poses[j][1] for j in neighbors[i][:J]]) for i in ref_ids])
+        )
+        Kj = jnp.asarray(K, jnp.float32)
+        drj = jnp.asarray(dr, jnp.float32)
+
+        sweep_b = jax.jit(
+            jax.vmap(
+                lambda rg, sg, Rr, tr, Rs_, ts_: sweep_depth_map(
+                    rg, sg, Kj, Rr, tr, Rs_, ts_, drj,
+                    num_depths=cfg.num_depths,
+                    patch=cfg.patch_size,
+                    ncc_threshold=cfg.ncc_threshold,
+                    min_views=cfg.min_views,
+                )
+            )
+        )
+        depth_b, cnt_b, ncc_b = sweep_b(
+            ref_g, src_g, R_refs, t_refs, R_srcs, t_srcs
+        )
+        depth_b = np.asarray(depth_b)
+        cnt_b = np.asarray(cnt_b)
 
         all_pts, all_cols = [], []
-        for i in ref_ids:
-            nb = neighbors[i]
-            if len(nb) < 1:
-                continue
-            depth, cnt, ncc = sweep_depth_map(
-                jnp.asarray(grays[id_row[i]]),
-                jnp.asarray(grays[[id_row[j] for j in nb]]),
-                jnp.asarray(K, jnp.float32),
-                jnp.asarray(poses[i][0]),
-                jnp.asarray(poses[i][1]),
-                jnp.asarray(np.stack([poses[j][0] for j in nb])),
-                jnp.asarray(np.stack([poses[j][1] for j in nb])),
-                jnp.asarray(dr, jnp.float32),
-                num_depths=cfg.num_depths,
-                patch=cfg.patch_size,
-                ncc_threshold=cfg.ncc_threshold,
-                min_views=cfg.min_views,
-            )
-            valid = cnt >= min(cfg.min_views, len(nb))
+        for r, i in enumerate(ref_ids):
+            valid = cnt_b[r] >= min(cfg.min_views, len(neighbors[i]))
             pts, mask = backproject_depth(
-                depth, jnp.asarray(K, jnp.float32),
-                jnp.asarray(poses[i][0]), jnp.asarray(poses[i][1]), valid,
+                jnp.asarray(depth_b[r]), Kj,
+                jnp.asarray(poses[i][0]), jnp.asarray(poses[i][1]),
+                jnp.asarray(valid),
             )
             mask_np = np.asarray(mask)
             pts_np = np.asarray(pts)[mask_np]
