@@ -65,6 +65,39 @@ class FeatureExtractor:
         img = jnp.asarray(image, jnp.float32)
         return self._get_fn(img.shape)(img)
 
+    def _get_batch_fn(self, shape: Tuple[int, int, int]):
+        key = ("batch",) + shape
+        if key not in self._jitted:
+            single = self._get_fn(shape[1:])
+
+            def fn(imgs_u8):
+                return jax.vmap(
+                    lambda im: single(im.astype(jnp.float32) / 255.0)
+                )(imgs_u8)
+
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    def extract_batch(self, images: np.ndarray, chunk: int = 8):
+        """Batched extraction: (V, H, W) float32 [0,1] -> list of per-image
+        SiftFeatures. Images ship as uint8 and chunks of `chunk` run as one
+        vmapped device program — per-image dispatches over a high-latency
+        device link dominate otherwise."""
+        V = images.shape[0]
+        u8 = np.clip(images * 255.0, 0, 255).astype(np.uint8)
+        out = []
+        for c0 in range(0, V, chunk):
+            batch = u8[c0 : c0 + chunk]
+            nb = batch.shape[0]
+            if nb < chunk:  # pad to the static chunk size
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], chunk - nb, axis=0)]
+                )
+            feats = self._get_batch_fn(batch.shape)(jnp.asarray(batch))
+            for r in range(nb):
+                out.append(jax.tree.map(lambda a, r=r: a[r], feats))
+        return out
+
 
 class FeatureMatcher:
     """Descriptor matching + geometric verification.

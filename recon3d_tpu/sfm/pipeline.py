@@ -82,13 +82,25 @@ def _triangulate_validated(
 
 
 @jax.jit
-def _refine_camera(K, R, t, X, x, w):
-    return refine_pose_gn(K, R, t, X, x, w, iterations=6)
+def _refine_cameras_batch(K, Rs, ts, Xs, xs, ws):
+    """All registered cameras refined in ONE dispatch (Rs (C,3,3), ts (C,3),
+    Xs (C,N,3), xs (C,N,2), ws (C,N)) — per-camera calls over a high-latency
+    device link cost ~0.2 s each in round trips alone."""
+    return jax.vmap(
+        lambda R, t, X, x, w: refine_pose_gn(K, R, t, X, x, w, iterations=6)
+    )(Rs, ts, Xs, xs, ws)
 
 
 @jax.jit
 def _reproj_errors(K, R, t, X, x):
     return reprojection_errors(K, R, t, X, x)
+
+
+@jax.jit
+def _reproj_errors_batch(K, Rs, ts, Xs, xs):
+    return jax.vmap(lambda R, t, X, x: reprojection_errors(K, R, t, X, x))(
+        Rs, ts, Xs, xs
+    )
 
 
 class SfMPipeline:
@@ -173,8 +185,13 @@ class SfMPipeline:
         n = self.image_set.gray.shape[0]
         self.features = []
         self.kp_xy = []
-        for i in range(n):
-            f = self.extractor.extract(self.image_set.gray[i])
+        if hasattr(self.extractor, "extract_batch"):
+            feats = self.extractor.extract_batch(self.image_set.gray)
+        else:  # neural frontend extracts per image
+            feats = [
+                self.extractor.extract(self.image_set.gray[i]) for i in range(n)
+            ]
+        for f in feats:
             self.features.append(f)
             self.kp_xy.append(np.asarray(f.xy))
             self.kp_to_point.append(
@@ -529,32 +546,51 @@ class SfMPipeline:
 
     # -- stage 6: motion refinement (reference's "light BA", :694-776) ----------
 
+    def _camera_obs_batch(self):
+        """Stack every registered camera's observations into (C, cap, ...)
+        arrays for single-dispatch batched refinement / error computation."""
+        cams = [i for i in sorted(self.registered)
+                if (self.kp_to_point[i] >= 0).sum() >= 6]
+        if not cams:
+            return None
+        obs = []
+        for i in cams:
+            kps = np.nonzero(self.kp_to_point[i] >= 0)[0]
+            pids = self.kp_to_point[i][kps]
+            X = np.stack([self.points3d[p] for p in pids]).astype(np.float32)
+            x = self.kp_xy[i][kps].astype(np.float32)
+            obs.append((X, x))
+        cap = _pad_pow2(max(len(X) for X, _ in obs))
+        C = len(cams)
+        Xs = np.zeros((C, cap, 3), np.float32)
+        xs = np.zeros((C, cap, 2), np.float32)
+        ws = np.zeros((C, cap), np.float32)
+        for r, (X, x) in enumerate(obs):
+            Xs[r, : len(X)] = X
+            xs[r, : len(x)] = x
+            ws[r, : len(X)] = 1
+        Rs = np.stack([self.poses[i][0] for i in cams]).astype(np.float32)
+        ts = np.stack([self.poses[i][1] for i in cams]).astype(np.float32)
+        return cams, Rs, ts, Xs, xs, ws
+
     def bundle_adjustment_light(self, iterations: int = 2):
-        """Motion-only refinement: re-optimize each camera against its
-        observations with batched GN (replaces the per-camera cv.solvePnP
-        resolve loop, reference :730-762)."""
+        """Motion-only refinement: re-optimize every camera against its
+        observations in one batched GN dispatch per sweep (replaces the
+        per-camera cv.solvePnP resolve loop, reference :730-762)."""
         err_before = self._mean_reproj_error()
         for _ in range(iterations):
-            for i in sorted(self.registered):
-                kps = np.nonzero(self.kp_to_point[i] >= 0)[0]
-                if len(kps) < 6:
-                    continue
-                pids = self.kp_to_point[i][kps]
-                X = np.stack([self.points3d[p] for p in pids]).astype(np.float32)
-                x = self.kp_xy[i][kps].astype(np.float32)
-                cap = _pad_pow2(len(X))
-                Xp = np.zeros((cap, 3), np.float32)
-                xp = np.zeros((cap, 2), np.float32)
-                wp = np.zeros(cap, np.float32)
-                Xp[: len(X)] = X
-                xp[: len(x)] = x
-                wp[: len(X)] = 1
-                R, t = self.poses[i]
-                Rn, tn = _refine_camera(
-                    self.camera.K, jnp.asarray(R), jnp.asarray(t),
-                    jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(wp),
-                )
-                self.poses[i] = (np.asarray(Rn), np.asarray(tn))
+            batch = self._camera_obs_batch()
+            if batch is None:
+                break
+            cams, Rs, ts, Xs, xs, ws = batch
+            Rn, tn = _refine_cameras_batch(
+                self.camera.K, jnp.asarray(Rs), jnp.asarray(ts),
+                jnp.asarray(Xs), jnp.asarray(xs), jnp.asarray(ws),
+            )
+            Rn = np.asarray(Rn)
+            tn = np.asarray(tn)
+            for r, i in enumerate(cams):
+                self.poses[i] = (Rn[r], tn[r])
         err_after = self._mean_reproj_error()
         print(f"[sfm] motion refinement: reproj {err_before:.3f} -> {err_after:.3f} px")
 
@@ -581,28 +617,18 @@ class SfMPipeline:
               f"({stats.get('iterations', 0)} iters)")
 
     def _mean_reproj_error(self) -> float:
-        errs = []
-        for i in sorted(self.registered):
-            kps = np.nonzero(self.kp_to_point[i] >= 0)[0]
-            if len(kps) == 0:
-                continue
-            pids = self.kp_to_point[i][kps]
-            X = np.stack([self.points3d[p] for p in pids]).astype(np.float32)
-            x = self.kp_xy[i][kps].astype(np.float32)
-            cap = _pad_pow2(len(X))
-            Xp = np.zeros((cap, 3), np.float32)
-            xp = np.zeros((cap, 2), np.float32)
-            Xp[: len(X)] = X
-            xp[: len(x)] = x
-            R, t = self.poses[i]
-            e = np.asarray(
-                _reproj_errors(self.camera.K, jnp.asarray(R), jnp.asarray(t),
-                               jnp.asarray(Xp), jnp.asarray(xp))
-            )[: len(X)]
-            errs.append(e)
-        if not errs:
+        batch = self._camera_obs_batch()
+        if batch is None:
             return 0.0
-        return float(np.mean(np.concatenate(errs)))
+        cams, Rs, ts, Xs, xs, ws = batch
+        e = np.asarray(
+            _reproj_errors_batch(
+                self.camera.K, jnp.asarray(Rs), jnp.asarray(ts),
+                jnp.asarray(Xs), jnp.asarray(xs),
+            )
+        )
+        sel = ws > 0
+        return float(e[sel].mean()) if sel.any() else 0.0
 
     # -- stage 7: full run --------------------------------------------------------
 
