@@ -103,6 +103,38 @@ def _reproj_errors_batch(K, Rs, ts, Xs, xs):
     )
 
 
+@jax.jit
+def _reproj_errors_gather(K, Rs, ts, cam_idx, X, x):
+    """Per-element reprojection error with per-element camera (gathered from
+    the registered-pose table). Lets link checks against MANY cameras run as
+    one dispatch."""
+    Rg = jnp.take(Rs, cam_idx, axis=0)
+    tg = jnp.take(ts, cam_idx, axis=0)
+    Xc = jnp.einsum("nij,nj->ni", Rg, X) + tg
+    z = Xc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    uv = Xc[:, :2] / zs[:, None]
+    u = K[0, 0] * uv[:, 0] + K[0, 1] * uv[:, 1] + K[0, 2]
+    v = K[1, 1] * uv[:, 1] + K[1, 2]
+    err = jnp.linalg.norm(jnp.stack([u, v], axis=-1) - x, axis=-1)
+    return jnp.where(z > 1e-6, err, 1e9)
+
+
+@jax.jit
+def _triangulate_validated_batch(
+    K, R1s, t1s, R2s, t2s, x1s, x2s, masks,
+    max_reproj, min_parallax, max_depth_factor,
+):
+    """Vmapped pairwise triangulation: every partner pair of a newly
+    registered image in ONE dispatch."""
+    return jax.vmap(
+        lambda R1, t1, R2, t2, x1, x2, m: _triangulate_validated(
+            K, R1, t1, R2, t2, x1, x2, m,
+            max_reproj, min_parallax, max_depth_factor,
+        )
+    )(R1s, t1s, R2s, t2s, x1s, x2s, masks)
+
+
 class SfMPipeline:
     """Incremental SfM (reference sfm_pipeline.py:28-86 constructor parity).
 
@@ -538,10 +570,121 @@ class SfMPipeline:
         return created
 
     def triangulate_new_points(self, i: int) -> int:
-        total = 0
+        """Triangulate image i against every registered partner (reference
+        :635-693) — all partners' link checks and pair triangulations run as
+        two batched dispatches instead of ~3 per partner."""
+        cfg = self.config.sfm
+        partners = []
         for j in self.registered:
-            if j != i:
-                total += self._add_triangulated(i, j)
+            if j == i:
+                continue
+            key = (i, j) if (i, j) in self.matches else (j, i)
+            if key in self.matches:
+                partners.append(key)
+        if not partners:
+            return 0
+
+        # ---- phase 1: batched link checks (one side already has a point)
+        link_pid, link_cam, link_kp = [], [], []
+        fresh_sets = []
+        for (a, b) in partners:
+            m = self.matches[(a, b)]
+            kpa, kpb = m["idx1"], m["idx2"]
+            pa = self.kp_to_point[a][kpa]
+            pb = self.kp_to_point[b][kpb]
+            for from_pts, to_cam, to_kps, sel in (
+                (pa, b, kpb, (pa >= 0) & (pb < 0)),
+                (pb, a, kpa, (pb >= 0) & (pa < 0)),
+            ):
+                if sel.any():
+                    link_pid.extend(from_pts[sel])
+                    link_cam.extend([to_cam] * int(sel.sum()))
+                    link_kp.extend(to_kps[sel])
+            fresh_sets.append((a, b, kpa[(pa < 0) & (pb < 0)], kpb[(pa < 0) & (pb < 0)]))
+
+        if link_pid:
+            cams = sorted(self.registered)
+            cam_row = {c: r for r, c in enumerate(cams)}
+            Rs = np.stack([self.poses[c][0] for c in cams]).astype(np.float32)
+            ts = np.stack([self.poses[c][1] for c in cams]).astype(np.float32)
+            n = len(link_pid)
+            cap = _pad_pow2(n)
+            Xp = np.zeros((cap, 3), np.float32)
+            xp = np.zeros((cap, 2), np.float32)
+            ci = np.zeros(cap, np.int32)
+            Xp[:n] = np.stack([self.points3d[p] for p in link_pid])
+            xp[:n] = np.stack(
+                [self.kp_xy[c][k] for c, k in zip(link_cam, link_kp)]
+            )
+            ci[:n] = [cam_row[c] for c in link_cam]
+            e = np.asarray(
+                _reproj_errors_gather(
+                    self.camera.K, jnp.asarray(Rs), jnp.asarray(ts),
+                    jnp.asarray(ci), jnp.asarray(Xp), jnp.asarray(xp),
+                )
+            )[:n]
+            for k in np.nonzero(e < cfg.max_reproj_error_px)[0]:
+                cam, kp, pid = link_cam[k], int(link_kp[k]), int(link_pid[k])
+                if self.kp_to_point[cam][kp] < 0:
+                    self.kp_to_point[cam][kp] = pid
+                    self.observations[pid].append((cam, kp))
+
+        # ---- phase 2: batched pairwise triangulation of fresh matches
+        fresh_sets = [(a, b, ka, kb) for (a, b, ka, kb) in fresh_sets if len(ka)]
+        if not fresh_sets:
+            return 0
+        P = len(fresh_sets)
+        cap = _pad_pow2(max(len(ka) for _, _, ka, _ in fresh_sets))
+        x1p = np.zeros((P, cap, 2), np.float32)
+        x2p = np.zeros((P, cap, 2), np.float32)
+        maskp = np.zeros((P, cap), np.float32)
+        R1s = np.zeros((P, 3, 3), np.float32)
+        t1s = np.zeros((P, 3), np.float32)
+        R2s = np.zeros((P, 3, 3), np.float32)
+        t2s = np.zeros((P, 3), np.float32)
+        for r, (a, b, ka, kb) in enumerate(fresh_sets):
+            x1p[r, : len(ka)] = self.kp_xy[a][ka]
+            x2p[r, : len(kb)] = self.kp_xy[b][kb]
+            maskp[r, : len(ka)] = 1
+            R1s[r], t1s[r] = self.poses[a]
+            R2s[r], t2s[r] = self.poses[b]
+        X_b, ok_b, _ = _triangulate_validated_batch(
+            self.camera.K,
+            jnp.asarray(R1s), jnp.asarray(t1s),
+            jnp.asarray(R2s), jnp.asarray(t2s),
+            jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(maskp),
+            cfg.max_reproj_error_px, cfg.min_parallax_deg,
+            cfg.max_depth_factor,
+        )
+        X_b = np.asarray(X_b)
+        ok_b = np.asarray(ok_b)
+
+        total = 0
+        for r, (a, b, ka, kb) in enumerate(fresh_sets):
+            color_img = self.image_set.color[a]
+            Hh, Ww = color_img.shape[:2]
+            x1 = self.kp_xy[a][ka]
+            for idx in np.nonzero(ok_b[r][: len(ka)])[0]:
+                if len(self.points3d) >= cfg.max_points:
+                    break
+                # a fresh match may have been linked by an earlier pair in
+                # this same batch — skip to keep tracks consistent
+                if (
+                    self.kp_to_point[a][ka[idx]] >= 0
+                    or self.kp_to_point[b][kb[idx]] >= 0
+                ):
+                    continue
+                pid = len(self.points3d)
+                self.points3d.append(X_b[r, idx])
+                u = int(np.clip(round(x1[idx, 0]), 0, Ww - 1))
+                v = int(np.clip(round(x1[idx, 1]), 0, Hh - 1))
+                self.point_colors.append(
+                    (color_img[v, u] * 255).astype(np.uint8)
+                )
+                self.observations.append([(a, int(ka[idx])), (b, int(kb[idx]))])
+                self.kp_to_point[a][ka[idx]] = pid
+                self.kp_to_point[b][kb[idx]] = pid
+                total += 1
         return total
 
     # -- stage 6: motion refinement (reference's "light BA", :694-776) ----------
