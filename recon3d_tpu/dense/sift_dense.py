@@ -73,6 +73,11 @@ class DenseSiftReconstructor:
             MatchConfig(ratio=cfg.ratio, cross_check=True)
         )
 
+    @staticmethod
+    def _xy(feat, idx):
+        """Keypoint pixels for given original indices (host numpy)."""
+        return np.asarray(feat.xy)[idx]
+
     def reconstruct(
         self,
         images: np.ndarray,
@@ -92,32 +97,40 @@ class DenseSiftReconstructor:
         grays = np.asarray(
             jax.jit(jax.vmap(rgb_to_gray))(jnp.asarray(images[ids]))
         )
-        feats = [self._extractor.extract(grays[r]) for r in range(V)]
+        feats = self._extractor.extract_batch(grays)
 
         window = pair_window or cfg.pair_window
         pairs = dense_pairs(V, window)
         key = jax.random.PRNGKey(seed)
 
+        # all pairs matched in chunked single-dispatch batches
+        from recon3d_tpu.features.frontend import match_pairs_batched
+
+        results = match_pairs_batched(
+            feats, pairs, key, self._matcher.config
+        )
+
         all_pts, all_cols = [], []
-        H, W = grays.shape[1:3]
-        for pi, (a, b) in enumerate(pairs):
-            i, j = ids[a], ids[b]
-            kp = jax.random.fold_in(key, pi)
-            m, F, n_inl = self._matcher.match_pair_geometric(
-                feats[a], feats[b], kp, min_matches=8
-            )
+        for (a, b, idx1, idx2, F, n_inl, n_raw) in results:
             if n_inl < 8:
                 continue
-            pts, cols = _triangulate_pair(
+            i, j = ids[a], ids[b]
+            cap = 1 << max(8, int(np.ceil(np.log2(max(1, len(idx1))))))
+            x1 = np.zeros((cap, 2), np.float32)
+            x2 = np.zeros((cap, 2), np.float32)
+            mask = np.zeros(cap, bool)
+            x1[: len(idx1)] = self._xy(feats[a], idx1)
+            x2[: len(idx2)] = self._xy(feats[b], idx2)
+            mask[: len(idx1)] = True
+            pts, cols = _triangulate_pair_xy(
                 K,
                 jnp.asarray(poses[i][0], jnp.float32),
                 jnp.asarray(poses[i][1], jnp.float32),
                 jnp.asarray(poses[j][0], jnp.float32),
                 jnp.asarray(poses[j][1], jnp.float32),
-                feats[a].xy,
-                feats[b].xy,
-                m.idx2,
-                m.mask,
+                jnp.asarray(x1),
+                jnp.asarray(x2),
+                jnp.asarray(mask),
                 jnp.asarray(images[i]),
                 max_reproj_px=cfg.max_reproj_error_px,
                 min_parallax_deg=cfg.min_parallax_deg,
@@ -143,8 +156,8 @@ class DenseSiftReconstructor:
 
 
 @jax.jit
-def _triangulate_pair(
-    K, R1, t1, R2, t2, xy1, xy2, idx2, mask, ref_image,
+def _triangulate_pair_xy(
+    K, R1, t1, R2, t2, x1, x2, mask, ref_image,
     max_reproj_px: float = 6.0,
     min_parallax_deg: float = 0.3,
 ):
@@ -152,8 +165,6 @@ def _triangulate_pair(
     (dense.py:177-248: cheirality 0.1 < z < 50 handled by the generic depth
     gate, parallax, reprojection) + color lookup in the first image
     (:242-246). Invalid slots are marked +inf for host-side compaction."""
-    x1 = xy1
-    x2 = xy2[jnp.clip(idx2, 0, None)]
     P1 = projection_from_KRt(K, R1, t1)
     P2 = projection_from_KRt(K, R2, t2)
     X = triangulate_dlt(P1, P2, x1, x2)
