@@ -21,7 +21,13 @@ import os as _os
 # distinct kernels (per padded shape bucket); caching them across processes
 # turns every run after the first into a near-zero-compile run. Opt out with
 # RECON3D_NO_COMPILE_CACHE=1.
-if not _os.environ.get("RECON3D_NO_COMPILE_CACHE"):
+if (
+    not _os.environ.get("RECON3D_NO_COMPILE_CACHE")
+    # CPU-only runs (tests, virtual meshes) skip the cache: CPU compiles are
+    # fast, and AOT artifacts are machine-feature-specific (a cache written
+    # by a different host risks SIGILL on load).
+    and "cpu" not in _os.environ.get("JAX_PLATFORMS", "").lower()
+):
     import jax as _jax
 
     _cache_dir = _os.environ.get(
