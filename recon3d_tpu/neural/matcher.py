@@ -162,3 +162,78 @@ class NeuralMatcher:
         inlier_mask = res.inliers & m.mask if enough else jnp.zeros_like(m.mask)
         out = MatchResult(idx1=m.idx1, idx2=m.idx2, distance=m.distance, mask=inlier_mask)
         return out, res.F, (int(res.num_inliers) if enough else 0)
+
+    # -- batched pair matching (mirrors features.frontend.match_pairs_batched) --
+
+    def _get_pairs_fn(self, sig):
+        if not hasattr(self, "_pairs_jit"):
+            self._pairs_jit = {}
+        if sig not in self._pairs_jit:
+            lg = self.lg
+            mc = self.match_config
+
+            @jax.jit
+            def fn(params, desc, xy, valid, pi, pj, keys, hw):
+                def one(i, j, key):
+                    xy0n = normalize_keypoints(xy[i], hw)
+                    xy1n = normalize_keypoints(xy[j], hw)
+                    log_assign, m0, m1 = lg.apply(
+                        params, desc[i], desc[j], xy0n, xy1n,
+                        valid[i], valid[j],
+                    )
+                    m = extract_matches(log_assign, valid[i], valid[j])
+                    x1 = jnp.where(m.mask[:, None], xy[i], 0.0)
+                    x2 = jnp.where(
+                        m.mask[:, None], xy[j][jnp.clip(m.idx2, 0, None)], 0.0
+                    )
+                    res = estimate_fundamental_ransac(
+                        key, x1, x2, m.mask.astype(jnp.float32),
+                        threshold_px=mc.ransac_threshold_px,
+                        num_hypotheses=mc.ransac_hypotheses,
+                    )
+                    return (
+                        m.idx2, m.mask & res.inliers, res.F,
+                        res.num_inliers, jnp.sum(m.mask),
+                    )
+
+                return jax.vmap(one)(pi, pj, keys)
+
+            self._pairs_jit[sig] = fn
+        return self._pairs_jit[sig]
+
+    def match_pairs_batched(self, features, pairs, key, chunk: int = 8,
+                            hw=None):
+        """All candidate pairs LightGlue-matched + F-verified in chunked
+        single-dispatch batches. Same return contract as
+        features.frontend.match_pairs_batched: (i, j, idx1, idx2, F,
+        n_inliers, n_raw) with original keypoint indices."""
+        import numpy as np
+
+        hw = jnp.asarray(hw or (1024, 1024), jnp.float32)
+        self._ensure_params((int(hw[0]), int(hw[1])))
+        desc = jnp.stack([f.desc for f in features])
+        xy = jnp.stack([f.xy for f in features])
+        valid = jnp.stack([f.valid for f in features])
+        fn = self._get_pairs_fn(int(desc.shape[1]))
+        out = []
+        for c0 in range(0, len(pairs), chunk):
+            batch = pairs[c0 : c0 + chunk]
+            padded = batch + [batch[-1]] * (chunk - len(batch))
+            pi = jnp.asarray([p[0] for p in padded], jnp.int32)
+            pj = jnp.asarray([p[1] for p in padded], jnp.int32)
+            keys = jax.random.split(jax.random.fold_in(key, c0), chunk)
+            idx2, inl, F, n_inl, n_raw = fn(
+                self._lg_params, desc, xy, valid, pi, pj, keys, hw
+            )
+            idx2 = np.asarray(idx2)
+            inl = np.asarray(inl)
+            F = np.asarray(F)
+            n_inl = np.asarray(n_inl)
+            n_raw = np.asarray(n_raw)
+            for r, (i, j) in enumerate(batch):
+                sel = np.flatnonzero(inl[r])
+                out.append(
+                    (i, j, sel, idx2[r][sel], F[r],
+                     int(n_inl[r]), int(n_raw[r]))
+                )
+        return out

@@ -257,21 +257,27 @@ class SfMPipeline:
     def match_image_pairs(self):
         """Geometric matching of candidate pairs (reference :158-246).
 
-        The classical frontend matches whole pair CHUNKS in one device
-        program (vmapped streaming matcher + F-RANSAC, frontend.py
-        match_pairs_batched) — the reference's per-pair FLANN loop
-        (:188-208) becomes a batch axis. The neural frontend keeps the
-        per-pair path (LightGlue state is per-pair anyway)."""
+        Both frontends match whole pair CHUNKS in one device program (the
+        classical path vmaps the streaming matcher + F-RANSAC, frontend.py
+        match_pairs_batched; the neural path vmaps LightGlue + F-RANSAC,
+        neural/matcher.py match_pairs_batched) — the reference's per-pair
+        FLANN/LightGlue loop (:188-208) becomes a batch axis."""
         t0 = time.time()
         n = len(self.features)
         pairs = self._candidate_pairs(n)
         kept = 0
-        if not self.neural_mode and pairs:
-            from recon3d_tpu.features.frontend import match_pairs_batched
+        if pairs:
+            if self.neural_mode:
+                hw = self.image_set.gray.shape[1:3]
+                results = self.matcher.match_pairs_batched(
+                    self.features, pairs, self._next_key(), hw=hw
+                )
+            else:
+                from recon3d_tpu.features.frontend import match_pairs_batched
 
-            results = match_pairs_batched(
-                self.features, pairs, self._next_key(), self.config.match
-            )
+                results = match_pairs_batched(
+                    self.features, pairs, self._next_key(), self.config.match
+                )
             for (i, j, idx1, idx2, F, n_inl, n_raw) in results:
                 if (
                     n_raw >= self.config.match.min_matches
@@ -284,22 +290,6 @@ class SfMPipeline:
                         n=len(idx1),
                     )
                     kept += 1
-            pairs_iter = []
-        else:
-            pairs_iter = pairs
-        for (i, j) in pairs_iter:
-            m, F, n_inl = self.matcher.match_pair_geometric(
-                self.features[i], self.features[j], self._next_key()
-            )
-            if n_inl >= self.config.match.min_matches:
-                mask = np.asarray(m.mask)
-                self.matches[(i, j)] = dict(
-                    idx1=np.asarray(m.idx1)[mask],
-                    idx2=np.asarray(m.idx2)[mask],
-                    F=np.asarray(F),
-                    n=int(mask.sum()),
-                )
-                kept += 1
         self.stats["match_time"] = time.time() - t0
         self.stats["num_pairs"] = kept
         print(f"[sfm] matched {kept}/{len(pairs)} pairs "

@@ -162,3 +162,21 @@ def test_torch_weight_conversion_roundtrip(tmp_path):
     np.testing.assert_allclose(
         w, sd["conv1a.weight"].numpy().transpose(2, 3, 1, 0), atol=1e-6
     )
+
+
+def test_neural_batched_pair_matching():
+    """match_pairs_batched returns the standard contract over pair chunks."""
+    cfg = NeuralConfig(max_keypoints=64, lightglue_layers=2, descriptor_dim=64)
+    nm = NeuralMatcher(cfg)
+    rng = np.random.default_rng(0)
+    feats = [nm.extract(rng.random((64, 96)).astype(np.float32))
+             for _ in range(3)]
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    out = nm.match_pairs_batched(feats, pairs, jax.random.PRNGKey(0),
+                                 chunk=2, hw=(64, 96))
+    assert len(out) == 3
+    for (i, j, idx1, idx2, F, n_inl, n_raw) in out:
+        assert (i, j) in pairs and F.shape == (3, 3)
+        assert len(idx1) == len(idx2) == n_inl or n_inl >= len(idx1) - 1
+        if len(idx1):
+            assert idx1.max() < 64 and idx2.max() < 64
