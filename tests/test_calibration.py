@@ -126,3 +126,33 @@ def test_calibrate_camera_robust_end_to_end(boards, tmp_path):
     valid = errors[~np.isnan(errors)]
     assert len(valid) >= 4
     assert np.median(valid) < 1.0, f"validator median {np.median(valid):.3f}"
+
+
+def test_solver_matches_opencv_on_same_corners(boards):
+    """Feed identical detected corners to our Zhang+LM solver and to
+    cv2.calibrateCamera: recovered intrinsics must agree closely (isolates
+    the solver from the detector)."""
+    cv2 = pytest.importorskip("cv2")
+    images, _ = boards
+    detected = [find_chessboard(img, PATTERN) for img in images[:8]]
+    detected = [c for c in detected if c is not None]
+    assert len(detected) >= 6
+    corners = np.stack(detected)
+    X = board_points(PATTERN)
+
+    K_ours, dist_ours, _, _, rms_ours = calibrate_from_corners(corners, X)
+
+    obj = [X.astype(np.float32)] * len(corners)
+    img_pts = [c.reshape(-1, 1, 2).astype(np.float32) for c in corners]
+    rms_cv, K_cv, dist_cv, _, _ = cv2.calibrateCamera(
+        obj, img_pts, (320, 240), None, None,
+        flags=cv2.CALIB_FIX_K3,
+    )
+    # both solvers converge to the same camera
+    assert abs(K_ours[0, 0] - K_cv[0, 0]) / K_cv[0, 0] < 0.01
+    assert abs(K_ours[1, 1] - K_cv[1, 1]) / K_cv[1, 1] < 0.01
+    assert abs(K_ours[0, 2] - K_cv[0, 2]) < 2.0
+    assert abs(K_ours[1, 2] - K_cv[1, 2]) < 2.0
+    np.testing.assert_allclose(dist_ours[:2], np.ravel(dist_cv)[:2], atol=0.02)
+    # and our residuals are at least as good
+    assert rms_ours.mean() <= rms_cv * 1.1
