@@ -223,13 +223,16 @@ class SfMPipeline:
             feats = [
                 self.extractor.extract(self.image_set.gray[i]) for i in range(n)
             ]
-        for f in feats:
+        # pull keypoint positions / validity in ONE device->host transfer
+        xy_all = np.asarray(jnp.stack([f.xy for f in feats]))
+        valid_all = np.asarray(jnp.stack([f.valid for f in feats]))
+        for r, f in enumerate(feats):
             self.features.append(f)
-            self.kp_xy.append(np.asarray(f.xy))
+            self.kp_xy.append(xy_all[r])
             self.kp_to_point.append(
-                np.full(self.kp_xy[-1].shape[0], -1, dtype=np.int64)
+                np.full(xy_all.shape[1], -1, dtype=np.int64)
             )
-        counts = [int(np.asarray(f.valid).sum()) for f in self.features]
+        counts = valid_all.sum(1).astype(int).tolist()
         self.stats["extract_time"] = time.time() - t0
         self.stats["features_per_image"] = counts
         print(f"[sfm] extracted features: mean {np.mean(counts):.0f}/image "
