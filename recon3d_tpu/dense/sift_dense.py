@@ -73,11 +73,6 @@ class DenseSiftReconstructor:
             MatchConfig(ratio=cfg.ratio, cross_check=True)
         )
 
-    @staticmethod
-    def _xy(feat, idx):
-        """Keypoint pixels for given original indices (host numpy)."""
-        return np.asarray(feat.xy)[idx]
-
     def reconstruct(
         self,
         images: np.ndarray,
@@ -97,7 +92,8 @@ class DenseSiftReconstructor:
         grays = np.asarray(
             jax.jit(jax.vmap(rgb_to_gray))(jnp.asarray(images[ids]))
         )
-        feats = self._extractor.extract_batch(grays)
+        feats = self._extractor.extract_batch(grays)  # stacked (V, ...)
+        xy_all = np.asarray(feats.xy)                 # one host pull
 
         window = pair_window or cfg.pair_window
         pairs = dense_pairs(V, window)
@@ -119,8 +115,8 @@ class DenseSiftReconstructor:
             x1 = np.zeros((cap, 2), np.float32)
             x2 = np.zeros((cap, 2), np.float32)
             mask = np.zeros(cap, bool)
-            x1[: len(idx1)] = self._xy(feats[a], idx1)
-            x2[: len(idx2)] = self._xy(feats[b], idx2)
+            x1[: len(idx1)] = xy_all[a][idx1]
+            x2[: len(idx2)] = xy_all[b][idx2]
             mask[: len(idx1)] = True
             pts, cols = _triangulate_pair_xy(
                 K,

@@ -79,13 +79,17 @@ class FeatureExtractor:
         return self._jitted[key]
 
     def extract_batch(self, images: np.ndarray, chunk: int = 8):
-        """Batched extraction: (V, H, W) float32 [0,1] -> list of per-image
-        SiftFeatures. Images ship as uint8 and chunks of `chunk` run as one
-        vmapped device program — per-image dispatches over a high-latency
-        device link dominate otherwise."""
+        """Batched extraction: (V, H, W) float32 [0,1] -> ONE stacked
+        SiftFeatures whose arrays have a leading view axis (V, ...).
+
+        Images ship as uint8 and chunks of `chunk` run as one vmapped device
+        program; chunk outputs concatenate on device. Returning per-image
+        slices instead would issue hundreds of tiny slice dispatches — fatal
+        over a high-latency device link. Use feature_slice(feats, i) for a
+        single image's view."""
         V = images.shape[0]
         u8 = np.clip(images * 255.0, 0, 255).astype(np.uint8)
-        out = []
+        chunks = []
         for c0 in range(0, V, chunk):
             batch = u8[c0 : c0 + chunk]
             nb = batch.shape[0]
@@ -94,9 +98,17 @@ class FeatureExtractor:
                     [batch, np.repeat(batch[-1:], chunk - nb, axis=0)]
                 )
             feats = self._get_batch_fn(batch.shape)(jnp.asarray(batch))
-            for r in range(nb):
-                out.append(jax.tree.map(lambda a, r=r: a[r], feats))
-        return out
+            if nb < chunk:
+                feats = jax.tree.map(lambda a: a[:nb], feats)
+            chunks.append(feats)
+        if len(chunks) == 1:
+            return chunks[0]
+        return jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *chunks)
+
+
+def feature_slice(stacked, i: int):
+    """One image's SiftFeatures view from a stacked (V, ...) batch."""
+    return jax.tree.map(lambda a: a[i], stacked)
 
 
 class FeatureMatcher:
@@ -229,11 +241,16 @@ def match_pairs_batched(
     matching cost is quadratic in the padded size. idx1/idx2 in the returned
     tuples are translated back to original keypoint indices.
 
+    `features` is either a stacked SiftFeatures with (V, K, ...) arrays
+    (from FeatureExtractor.extract_batch) or a list of per-image features.
+
     Returns (i, j, idx1, idx2, F, n_inliers, n_raw) numpy tuples with idx1/
     idx2 the ORIGINAL keypoint indices of the geometric inliers; the caller
     applies min_matches gates."""
     cfg = config or MatchConfig()
-    valid_np = np.stack([np.asarray(f.valid) for f in features])
+    if isinstance(features, (list, tuple)):
+        features = jax.tree.map(lambda *a: jnp.stack(a), *features)
+    valid_np = np.asarray(features.valid)
     counts = valid_np.sum(1).astype(int)
     K = valid_np.shape[1]
     C = 1 << max(8, int(np.ceil(np.log2(max(1, counts.max())))))
@@ -242,11 +259,11 @@ def match_pairs_batched(
     order = np.argsort(~valid_np, axis=1, kind="stable")[:, :C]  # (V, C)
     oj = jnp.asarray(order)
 
-    desc = jnp.stack([f.desc[oj[v]] for v, f in enumerate(features)])
-    valid = jnp.stack(
-        [f.valid[oj[v]].astype(jnp.float32) for v, f in enumerate(features)]
-    )
-    xy = jnp.stack([f.xy[oj[v]] for v, f in enumerate(features)])
+    # one gathered compaction per field (device-side)
+    row = jnp.arange(oj.shape[0])[:, None]
+    desc = features.desc[row, oj]
+    valid = features.valid[row, oj].astype(jnp.float32)
+    xy = features.xy[row, oj]
     out = []
     for c0 in range(0, len(pairs), chunk):
         batch = pairs[c0 : c0 + chunk]

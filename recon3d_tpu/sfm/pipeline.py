@@ -30,7 +30,11 @@ import jax.numpy as jnp
 
 from recon3d_tpu.camera import Camera, CameraPose, load_calibration, projection_from_KRt
 from recon3d_tpu.config import ReconstructionConfig
-from recon3d_tpu.features.frontend import FeatureExtractor, FeatureMatcher
+from recon3d_tpu.features.frontend import (
+    FeatureExtractor,
+    FeatureMatcher,
+    feature_slice,
+)
 from recon3d_tpu.io.dataset import ImageSet, load_image_set
 from recon3d_tpu.io.ply import save_ply, save_cameras_ply
 from recon3d_tpu.ops.estimation import estimate_pose_pnp
@@ -135,6 +139,21 @@ def _triangulate_validated_batch(
     )(R1s, t1s, R2s, t2s, x1s, x2s, masks)
 
 
+class _LazyFeatureList:
+    """Sequence view over stacked (V, ...) features: slices one image's
+    arrays only when accessed (match-graph bridging needs a handful)."""
+
+    def __init__(self, stacked, n: int):
+        self._stacked = stacked
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i):
+        return feature_slice(self._stacked, i)
+
+
 class SfMPipeline:
     """Incremental SfM (reference sfm_pipeline.py:28-86 constructor parity).
 
@@ -176,6 +195,7 @@ class SfMPipeline:
     def reset(self):
         self.image_set: Optional[ImageSet] = None
         self.features: List = []
+        self.features_stacked = None
         self.kp_xy: List[np.ndarray] = []
         self.matches: Dict[Tuple[int, int], Dict[str, np.ndarray]] = {}
         self.poses: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
@@ -218,16 +238,22 @@ class SfMPipeline:
         self.features = []
         self.kp_xy = []
         if hasattr(self.extractor, "extract_batch"):
-            feats = self.extractor.extract_batch(self.image_set.gray)
+            # stacked (V, ...) device arrays; per-image views only on demand
+            # (eagerly slicing every image costs hundreds of dispatches)
+            stacked = self.extractor.extract_batch(self.image_set.gray)
+            self.features_stacked = stacked
+            self.features = _LazyFeatureList(stacked, n)
+            xy_all = np.asarray(stacked.xy)
+            valid_all = np.asarray(stacked.valid)
         else:  # neural frontend extracts per image
             feats = [
                 self.extractor.extract(self.image_set.gray[i]) for i in range(n)
             ]
-        # pull keypoint positions / validity in ONE device->host transfer
-        xy_all = np.asarray(jnp.stack([f.xy for f in feats]))
-        valid_all = np.asarray(jnp.stack([f.valid for f in feats]))
-        for r, f in enumerate(feats):
-            self.features.append(f)
+            self.features_stacked = None
+            self.features = feats
+            xy_all = np.asarray(jnp.stack([f.xy for f in feats]))
+            valid_all = np.asarray(jnp.stack([f.valid for f in feats]))
+        for r in range(n):
             self.kp_xy.append(xy_all[r])
             self.kp_to_point.append(
                 np.full(xy_all.shape[1], -1, dtype=np.int64)
@@ -279,7 +305,8 @@ class SfMPipeline:
                 from recon3d_tpu.features.frontend import match_pairs_batched
 
                 results = match_pairs_batched(
-                    self.features, pairs, self._next_key(), self.config.match
+                    self.features_stacked, pairs, self._next_key(),
+                    self.config.match,
                 )
             for (i, j, idx1, idx2, F, n_inl, n_raw) in results:
                 if (
