@@ -70,6 +70,7 @@ class SfmConfig:
     pnp_min_correspondences: int = 12  # ref :478-510
     pnp_hypotheses: int = 2048
     pnp_thresholds_px: Tuple[float, ...] = (8.0, 10.0, 12.0)
+    registration_wave_size: int = 8    # images PnP'd per batched dispatch
     max_reproj_error_px: float = 4.0   # triangulation gate (ref geometry.py:61)
     min_parallax_deg: float = 1.0
     max_depth_factor: float = 200.0    # depth < factor * baseline (ref geometry.py:97)

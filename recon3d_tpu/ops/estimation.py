@@ -56,6 +56,45 @@ def estimate_fundamental_ransac(
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses", "refine_iterations"))
+def estimate_pose_pnp_wave(
+    keys: jax.Array,
+    K: jnp.ndarray,
+    X: jnp.ndarray,
+    x_px: jnp.ndarray,
+    valid: jnp.ndarray,
+    thresholds_px: jnp.ndarray,
+    num_hypotheses: int = 2048,
+    refine_iterations: int = 8,
+) -> PnPResult:
+    """Batched RANSAC-PnP: a whole registration WAVE in one dispatch.
+
+    The reference registers one image at a time, attempting a cascade of
+    RANSAC thresholds sequentially (sfm_pipeline.py:567-584). Over a
+    high-latency device link each attempt is a full round-trip; here every
+    eligible image x every cascade threshold solves simultaneously:
+
+      keys (B,), X (B, N, 3), x_px (B, N, 2), valid (B, N),
+      thresholds_px (T,)  ->  PnPResult with (B, T, ...) fields.
+
+    The host then picks, per image, the tightest threshold whose inlier
+    count passes the acceptance rule — identical semantics to the cascade,
+    ~B*T fewer dispatches.
+    """
+
+    def per_image(key, Xi, xi, vi):
+        return jax.vmap(
+            lambda thr: pnp_ransac(
+                key, K, Xi, xi, vi,
+                num_hypotheses=num_hypotheses,
+                threshold_px=thr,
+                refine_iterations=refine_iterations,
+            )
+        )(thresholds_px)
+
+    return jax.vmap(per_image)(keys, X, x_px, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "refine_iterations"))
 def estimate_pose_pnp(
     key: jax.Array,
     K: jnp.ndarray,

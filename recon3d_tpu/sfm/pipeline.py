@@ -37,7 +37,7 @@ from recon3d_tpu.features.frontend import (
 )
 from recon3d_tpu.io.dataset import ImageSet, load_image_set
 from recon3d_tpu.io.ply import save_ply, save_cameras_ply
-from recon3d_tpu.ops.estimation import estimate_pose_pnp
+from recon3d_tpu.ops.estimation import estimate_pose_pnp_wave
 from recon3d_tpu.ops.epipolar import essential_from_fundamental, recover_pose
 from recon3d_tpu.ops.pnp import refine_pose_gn, project_points
 from recon3d_tpu.ops.triangulate import (
@@ -57,13 +57,6 @@ def _pad_pow2(n: int, lo: int = 256, hi: int = 16384) -> int:
 
 # --------------------------------------------------------------------------
 # Jitted helpers (fixed-shape, cached per padded size)
-
-
-@jax.jit
-def _recover_from_F(F, K, x1, x2, mask):
-    E = essential_from_fundamental(F, K)
-    R, t, front = recover_pose(E, x1, x2, K, mask)
-    return R, t, front
 
 
 @jax.jit
@@ -96,6 +89,28 @@ def _refine_cameras_batch(K, Rs, ts, Xs, xs, ws):
 
 
 @jax.jit
+def _refine_cameras_with_errors(K, Rs, ts, Xs, xs, ws):
+    """Motion refinement + before/after mean reprojection error, ONE dispatch.
+
+    The observation tables don't change during motion-only refinement, so the
+    whole "light BA" (reference sfm_pipeline.py:694-776: per-camera resolve +
+    error printouts) is a single device program instead of uploading the
+    padded observation stack once per sweep and once per error readout."""
+
+    def errs(Rb, tb):
+        e = jax.vmap(lambda R, t, X, x: reprojection_errors(K, R, t, X, x))(
+            Rb, tb, Xs, xs
+        )
+        return jnp.sum(e * ws) / jnp.maximum(jnp.sum(ws), 1.0)
+
+    before = errs(Rs, ts)
+    Rn, tn = jax.vmap(
+        lambda R, t, X, x, w: refine_pose_gn(K, R, t, X, x, w, iterations=12)
+    )(Rs, ts, Xs, xs, ws)
+    return Rn, tn, before, errs(Rn, tn)
+
+
+@jax.jit
 def _reproj_errors(K, R, t, X, x):
     return reprojection_errors(K, R, t, X, x)
 
@@ -122,6 +137,25 @@ def _reproj_errors_gather(K, Rs, ts, cam_idx, X, x):
     v = K[1, 1] * uv[:, 1] + K[1, 2]
     err = jnp.linalg.norm(jnp.stack([u, v], axis=-1) - x, axis=-1)
     return jnp.where(z > 1e-6, err, 1e9)
+
+
+@jax.jit
+def _init_candidates_batch(K, Fs, x1s, x2s, masks, max_reproj, max_depth_factor):
+    """Score every initial-pair candidate in ONE dispatch: E from F, pose
+    recovery, triangulation + validation, per-point parallax (reference
+    find_best_initial_pair sfm_pipeline.py:331-433 runs this per candidate
+    sequentially)."""
+
+    def one(F, x1, x2, mask):
+        E = essential_from_fundamental(F, K)
+        R, t, front = recover_pose(E, x1, x2, K, mask)
+        X, ok, parallax = _triangulate_validated(
+            K, jnp.eye(3), jnp.zeros(3), R, t, x1, x2, mask,
+            max_reproj, 0.5, max_depth_factor,
+        )
+        return R, t, ok, parallax
+
+    return jax.vmap(one)(Fs, x1s, x2s, masks)
 
 
 @jax.jit
@@ -386,36 +420,41 @@ class SfMPipeline:
         (reference :331-433: parallax in [1.5, 40] deg, boost [3, 20])."""
         cfg = self.config.sfm
         ranked = sorted(self.matches.items(), key=lambda kv: -kv[1]["n"])[:10]
-        best, best_score = None, 0.0
+        if not ranked:
+            return None
         K = self.camera.K
-        for (i, j), m in ranked:
+        B = len(ranked)
+        cap = _pad_pow2(max(len(m["idx1"]) for _, m in ranked))
+        Fs = np.stack([m["F"] for _, m in ranked]).astype(np.float32)
+        x1p = np.zeros((B, cap, 2), np.float32)
+        x2p = np.zeros((B, cap, 2), np.float32)
+        maskp = np.zeros((B, cap), np.float32)
+        for b, ((i, j), m) in enumerate(ranked):
             x1, x2 = self._pair_xy(i, j)
-            cap = _pad_pow2(len(x1))
-            x1p = np.zeros((cap, 2), np.float32)
-            x2p = np.zeros((cap, 2), np.float32)
-            maskp = np.zeros(cap, np.float32)
-            x1p[: len(x1)] = x1
-            x2p[: len(x2)] = x2
-            maskp[: len(x1)] = 1
-            R, t, front = _recover_from_F(
-                jnp.asarray(m["F"]), K, jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(maskp)
-            )
-            X, ok, parallax = _triangulate_validated(
-                K, jnp.eye(3), jnp.zeros(3), R, t,
-                jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(maskp),
-                cfg.max_reproj_error_px, 0.5, cfg.max_depth_factor,
-            )
-            okn = np.asarray(ok)
+            x1p[b, : len(x1)] = x1
+            x2p[b, : len(x2)] = x2
+            maskp[b, : len(x1)] = 1
+        Rb, tb, ok_b, par_b = _init_candidates_batch(
+            K, jnp.asarray(Fs), jnp.asarray(x1p), jnp.asarray(x2p),
+            jnp.asarray(maskp),
+            cfg.max_reproj_error_px, cfg.max_depth_factor,
+        )
+        Rb, tb = np.asarray(Rb), np.asarray(tb)
+        ok_b, par_b = np.asarray(ok_b), np.asarray(par_b)
+
+        best, best_score = None, 0.0
+        for b, ((i, j), m) in enumerate(ranked):
+            okn = ok_b[b]
             if okn.sum() < cfg.min_matches_init // 2:
                 continue
-            med_par = float(np.median(np.asarray(parallax)[okn]))
+            med_par = float(np.median(par_b[b][okn]))
             if not (cfg.min_parallax_init_deg <= med_par <= cfg.max_parallax_init_deg):
                 continue
             boost = 2.0 if 3.0 <= med_par <= 20.0 else 1.0
             score = okn.sum() * boost
             if score > best_score:
                 best_score = score
-                best = (i, j, np.asarray(R), np.asarray(t))
+                best = (i, j, Rb[b], tb[b])
         if best is None:
             return None
         i, j, R, t = best
@@ -452,6 +491,15 @@ class SfMPipeline:
                 kp_ids.setdefault(int(kp), int(pid))
         return kp_ids
 
+    def _corr_arrays(self, i: int):
+        """(kps, pids) int64 arrays for image i, or None if too few."""
+        corr = self._correspondences_2d3d(i)
+        if len(corr) < self.config.sfm.pnp_min_correspondences:
+            return None
+        kps = np.fromiter(corr.keys(), dtype=np.int64)
+        pids = np.fromiter(corr.values(), dtype=np.int64)
+        return kps, pids
+
     def find_next_image(self) -> Optional[int]:
         cfg = self.config.sfm
         best, best_n = None, cfg.pnp_min_correspondences - 1
@@ -463,43 +511,83 @@ class SfMPipeline:
                 best, best_n = i, n
         return best
 
-    def register_image(self, i: int) -> bool:
-        """PnP registration with threshold cascade (reference :512-633)."""
+    def _wave_candidates(self):
+        """Eligible unregistered images, strongest first (reference picks ONE
+        best image per round, :478-510; the wave loop takes the whole strong
+        cohort). Weak candidates (<30% of the best correspondence count) are
+        deferred, not attempted — they gain correspondences as triangulation
+        widens and register in a later wave."""
         cfg = self.config.sfm
-        corr = self._correspondences_2d3d(i)
-        if len(corr) < cfg.pnp_min_correspondences:
-            return False
-        kps = np.fromiter(corr.keys(), dtype=np.int64)
-        pids = np.fromiter(corr.values(), dtype=np.int64)
-        X = np.stack([self.points3d[p] for p in pids]).astype(np.float32)
-        x = self.kp_xy[i][kps].astype(np.float32)
+        out = []
+        for i in range(len(self.features)):
+            if i in self.registered or i in self.failed:
+                continue
+            c = self._corr_arrays(i)
+            if c is not None:
+                out.append((i, c[0], c[1]))
+        out.sort(key=lambda t: -len(t[1]))
+        if out:
+            floor = max(cfg.pnp_min_correspondences, int(0.3 * len(out[0][1])))
+            out = [t for t in out if len(t[1]) >= floor]
+        return out
 
-        cap = _pad_pow2(len(X))
-        Xp = np.zeros((cap, 3), np.float32)
-        xp = np.zeros((cap, 2), np.float32)
-        vp = np.zeros(cap, np.float32)
-        Xp[: len(X)] = X
-        xp[: len(x)] = x
-        vp[: len(X)] = 1
+    def _register_wave(self, cands) -> List[int]:
+        """PnP-register a wave of images in ONE device dispatch.
 
-        for thr in cfg.pnp_thresholds_px:
-            res = estimate_pose_pnp(
-                self._next_key(), self.camera.K,
-                jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(vp),
-                threshold_px=thr, num_hypotheses=cfg.pnp_hypotheses,
-            )
-            n_inl = int(res.num_inliers)
-            if n_inl >= max(cfg.pnp_min_correspondences, int(0.25 * len(X))):
-                self.poses[i] = (np.asarray(res.R), np.asarray(res.t))
+        cands: list of (image_id, kps, pids). Every image x every cascade
+        threshold (reference :567-584) solves in a single batched program
+        (ops/estimation.estimate_pose_pnp_wave); acceptance per image picks
+        the tightest passing threshold, exactly like the sequential cascade.
+        Returns the accepted image ids (state updated)."""
+        cfg = self.config.sfm
+        if not cands:
+            return []
+        B = len(cands)
+        cap = _pad_pow2(max(len(k) for _, k, _ in cands))
+        Xp = np.zeros((B, cap, 3), np.float32)
+        xp = np.zeros((B, cap, 2), np.float32)
+        vp = np.zeros((B, cap), np.float32)
+        for b, (i, kps, pids) in enumerate(cands):
+            Xp[b, : len(pids)] = np.stack([self.points3d[p] for p in pids])
+            xp[b, : len(kps)] = self.kp_xy[i][kps]
+            vp[b, : len(kps)] = 1
+        thr = jnp.asarray(np.asarray(cfg.pnp_thresholds_px, np.float32))
+        keys = jax.random.split(self._next_key(), B)
+        res = estimate_pose_pnp_wave(
+            keys, self.camera.K,
+            jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(vp), thr,
+            num_hypotheses=cfg.pnp_hypotheses,
+        )
+        Rb = np.asarray(res.R)               # (B, T, 3, 3)
+        tb = np.asarray(res.t)               # (B, T, 3)
+        n_inl_b = np.asarray(res.num_inliers)  # (B, T)
+        inl_b = np.asarray(res.inliers)      # (B, T, cap)
+
+        accepted: List[int] = []
+        for b, (i, kps, pids) in enumerate(cands):
+            n = len(kps)
+            need = max(cfg.pnp_min_correspondences, int(0.25 * n))
+            for ti in range(len(cfg.pnp_thresholds_px)):
+                if int(n_inl_b[b, ti]) < need:
+                    continue
+                self.poses[i] = (
+                    Rb[b, ti].astype(np.float32), tb[b, ti].astype(np.float32)
+                )
                 self.registered.add(i)
-                inl = np.asarray(res.inliers)[: len(X)]
-                # record observations for inlier correspondences
-                for kp, pid, good in zip(kps, pids, inl):
+                for kp, pid, good in zip(kps, pids, inl_b[b, ti][:n]):
                     if good and self.kp_to_point[i][kp] < 0:
                         self.kp_to_point[i][kp] = pid
                         self.observations[pid].append((i, int(kp)))
-                return True
-        return False
+                accepted.append(i)
+                break
+        return accepted
+
+    def register_image(self, i: int) -> bool:
+        """PnP registration with threshold cascade (reference :512-633)."""
+        c = self._corr_arrays(i)
+        if c is None:
+            return False
+        return i in self._register_wave([(i, c[0], c[1])])
 
     def _add_triangulated(self, i: int, j: int):
         """Triangulate unassigned matches of a registered pair
@@ -591,16 +679,23 @@ class SfMPipeline:
 
     def triangulate_new_points(self, i: int) -> int:
         """Triangulate image i against every registered partner (reference
-        :635-693) — all partners' link checks and pair triangulations run as
-        two batched dispatches instead of ~3 per partner."""
+        :635-693)."""
+        return self._triangulate_images([i])
+
+    def _triangulate_images(self, imgs: List[int]) -> int:
+        """Triangulate every match pair touching the given newly registered
+        images (reference :635-693) — ALL images' link checks and pair
+        triangulations for the whole wave run as two batched dispatches."""
         cfg = self.config.sfm
-        partners = []
-        for j in self.registered:
-            if j == i:
-                continue
-            key = (i, j) if (i, j) in self.matches else (j, i)
-            if key in self.matches:
-                partners.append(key)
+        keys_set = set()
+        for i in imgs:
+            for j in self.registered:
+                if j == i:
+                    continue
+                key = (i, j) if (i, j) in self.matches else (j, i)
+                if key in self.matches:
+                    keys_set.add(key)
+        partners = sorted(keys_set)
         if not partners:
             return 0
 
@@ -738,24 +833,25 @@ class SfMPipeline:
 
     def bundle_adjustment_light(self, iterations: int = 2):
         """Motion-only refinement: re-optimize every camera against its
-        observations in one batched GN dispatch per sweep (replaces the
-        per-camera cv.solvePnP resolve loop, reference :730-762)."""
-        err_before = self._mean_reproj_error()
-        for _ in range(iterations):
-            batch = self._camera_obs_batch()
-            if batch is None:
-                break
-            cams, Rs, ts, Xs, xs, ws = batch
-            Rn, tn = _refine_cameras_batch(
-                self.camera.K, jnp.asarray(Rs), jnp.asarray(ts),
-                jnp.asarray(Xs), jnp.asarray(xs), jnp.asarray(ws),
-            )
-            Rn = np.asarray(Rn)
-            tn = np.asarray(tn)
-            for r, i in enumerate(cams):
-                self.poses[i] = (Rn[r], tn[r])
-        err_after = self._mean_reproj_error()
-        print(f"[sfm] motion refinement: reproj {err_before:.3f} -> {err_after:.3f} px")
+        observations (replaces the per-camera cv.solvePnP resolve loop,
+        reference :730-762). The observation tables are fixed during
+        motion-only refinement, so refinement AND the before/after error
+        readout run as ONE device dispatch (`iterations` kept for API parity;
+        the fused program runs 12 GN iterations)."""
+        del iterations
+        batch = self._camera_obs_batch()
+        if batch is None:
+            return
+        cams, Rs, ts, Xs, xs, ws = batch
+        Rn, tn, e0, e1 = _refine_cameras_with_errors(
+            self.camera.K, jnp.asarray(Rs), jnp.asarray(ts),
+            jnp.asarray(Xs), jnp.asarray(xs), jnp.asarray(ws),
+        )
+        Rn = np.asarray(Rn)
+        tn = np.asarray(tn)
+        for r, i in enumerate(cams):
+            self.poses[i] = (Rn[r], tn[r])
+        print(f"[sfm] motion refinement: reproj {float(e0):.3f} -> {float(e1):.3f} px")
 
     def bundle_adjustment_full(self):
         """Full sparse LM bundle adjustment over all cameras and points
@@ -796,14 +892,19 @@ class SfMPipeline:
     # -- stage 7: full run --------------------------------------------------------
 
     def try_recover_images(self):
-        """Retry previously failed registrations (reference :778-789)."""
-        retry = list(self.failed)
+        """Retry previously failed registrations (reference :778-789) — the
+        whole retry set as one batched wave."""
+        retry = sorted(self.failed)
         self.failed.clear()
+        cands = []
         for i in retry:
-            if self.register_image(i):
-                self.triangulate_new_points(i)
-            else:
-                self.failed.add(i)
+            c = self._corr_arrays(i)
+            if c is not None:
+                cands.append((i, c[0], c[1]))
+        accepted = self._register_wave(cands)
+        if accepted:
+            self._triangulate_images(accepted)
+        self.failed.update(set(retry) - set(accepted))
 
     def reconstruct(
         self,
@@ -824,32 +925,60 @@ class SfMPipeline:
         self.extract_features()
         self.match_image_pairs()
 
+        t_init = time.time()
         pair = self.find_best_initial_pair()
         if pair is None:
             raise RuntimeError("no valid initial pair found")
         self.initialize(pair)
+        self.stats["init_time"] = time.time() - t_init
+        t_incr = time.time()
 
+        # Incremental loop in WAVES: where the reference registers one image
+        # per round (:834-857), every eligible image PnPs in one batched
+        # dispatch and all accepted images triangulate together — the round
+        # count (and with it the dominant host<->device round-trip cost)
+        # drops from O(images) to O(waves). Two guards keep wave registration
+        # as accurate as sequential: (1) the wave size RAMPS with the number
+        # of registered cameras, so early images — whose PnP points all come
+        # from the thin initial-pair geometry — register nearly one-by-one
+        # while late images (seen by many registered partners) batch wide;
+        # (2) motion refinement runs after EVERY wave (it is one fused
+        # dispatch), so the next wave's PnP sees polished poses.
         since_ba = 0
+        wave_cap = max(1, self.config.sfm.registration_wave_size)
         while True:
-            nxt = self.find_next_image()
-            if nxt is None:
+            cands = self._wave_candidates()
+            if not cands:
                 break
-            if self.register_image(nxt):
-                n_new = self.triangulate_new_points(nxt)
-                since_ba += 1
-                print(f"[sfm] registered image {nxt} "
+            ramp = max(1, (len(self.registered) - 1) // 2)
+            wave = cands[: min(wave_cap, ramp)]
+            accepted = self._register_wave(wave)
+            for i, _, _ in wave:
+                if i not in self.registered:
+                    self.failed.add(i)
+                    print(f"[sfm] failed to register image {i}")
+            if accepted:
+                n_new = self._triangulate_images(accepted)
+                since_ba += len(accepted)
+                print(f"[sfm] registered wave {accepted} "
                       f"({len(self.registered)}/{len(self.features)}), +{n_new} points")
+                self.bundle_adjustment_light()
+                # Periodic FULL BA (points + poses): wave registration defers
+                # the between-image geometry updates of the sequential order,
+                # so drifted points must be re-solved, not just re-posed —
+                # this is the reference's every-5-cameras "BA" (:855-857)
+                # upgraded from motion-only to a true sparse LM solve.
                 if since_ba >= self.config.sfm.ba_every_n_cameras:
-                    self.bundle_adjustment_light()
+                    self.bundle_adjustment_full()
                     since_ba = 0
-            else:
-                self.failed.add(nxt)
-                print(f"[sfm] failed to register image {nxt}")
 
+        self.stats["incremental_time"] = time.time() - t_incr
+        t_ba = time.time()
         self.bundle_adjustment_light()
         self.try_recover_images()
         self.bundle_adjustment_full()
         self._normalize_reconstruction()
+        self.stats["final_ba_time"] = time.time() - t_ba
 
         elapsed = time.time() - t0
         self.stats["total_time"] = elapsed
