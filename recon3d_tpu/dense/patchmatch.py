@@ -51,7 +51,7 @@ from recon3d_tpu.dense.plane_sweep import (
     depth_range_from_poses,
     depth_range_from_sparse,
 )
-from recon3d_tpu.ops.image import bilinear_sample, box_filter, resize, rgb_to_gray
+from recon3d_tpu.ops.image import bilinear_sample, box_filter
 
 _HI = jax.lax.Precision.HIGHEST
 _BIG = 1e9  # stand-in for +inf that stays finite under where/argmin
@@ -387,17 +387,14 @@ class PatchMatchMVS:
         Ws = int(images.shape[2] * scale)
         K = np.asarray(self.camera.scaled(scale).K, np.float32)
 
-        # Ship images to the device as uint8 (4x less transfer — the
-        # host<->device link, not compute, bounds this stage) and convert +
-        # resize on device.
-        img_u8 = np.clip(images[ids] * 255.0, 0, 255).astype(np.uint8)
-        small_d = jax.jit(
-            jax.vmap(
-                lambda im: resize(im.astype(jnp.float32) / 255.0, (Hs, Ws))
-            )
-        )(jnp.asarray(img_u8))
-        small = np.asarray(small_d)
-        grays = np.asarray(jax.jit(jax.vmap(rgb_to_gray))(small_d))
+        # Downscale + gray on the HOST: the working scale is 0.25x, so the
+        # device only ever needs the small gray planes (uploaded per batch
+        # below). Shipping full-res frames to resize on-device costs ~16x
+        # more link bytes than the data the stage actually consumes.
+        from recon3d_tpu.io.hostimg import resize_batch_np, rgb_to_gray_np
+
+        small = resize_batch_np(images[ids], (Hs, Ws))
+        grays = rgb_to_gray_np(small)
         row = {i: r for r, i in enumerate(ids)}
 
         Rs = np.stack([poses[i][0] for i in ids]).astype(np.float32)
@@ -426,7 +423,8 @@ class PatchMatchMVS:
 
         t_prep = time.time() - t0
         key = jax.random.PRNGKey(cfg.seed)
-        maps: Dict[int, DepthNormalMap] = {}
+        batch_outs: List[DepthNormalMap] = []  # padded (views_per_batch, ...)
+        real_rows: List[int] = []              # row in the concatenated stack
         for b0 in range(0, V, views_per_batch):
             batch = ids[b0 : b0 + views_per_batch]
             nB = len(batch)
@@ -449,15 +447,25 @@ class PatchMatchMVS:
                 patch=cfg.patch_size,
                 ncc_threshold=cfg.ncc_confidence_threshold,
             )
-            for r, i in enumerate(batch):
-                maps[i] = jax.tree.map(lambda a, r=r: a[r], out)
+            base = len(batch_outs) * views_per_batch
+            real_rows.extend(base + r for r in range(nB))
+            batch_outs.append(out)
 
         t_depth = time.time() - t0 - t_prep
         # Fusion: back-project every confident pixel of every view in ONE
         # vmapped call (reference _fuse_depth_maps :536-570 loops views).
+        # Batch outputs concatenate + gather as TWO device ops — slicing the
+        # per-view maps out individually would cost ~2 dispatches per view.
         min_views = min(cfg.min_views, J)
-        depth_all = jnp.stack([maps[i].depth for i in ids])
-        conf_all = jnp.stack([maps[i].confidence for i in ids])
+        rows_j = jnp.asarray(np.asarray(real_rows, np.int32))
+        depth_all = jnp.take(
+            jnp.concatenate([o.depth for o in batch_outs], axis=0),
+            rows_j, axis=0,
+        )
+        conf_all = jnp.take(
+            jnp.concatenate([o.confidence for o in batch_outs], axis=0),
+            rows_j, axis=0,
+        )
         fuse = jax.jit(
             jax.vmap(
                 lambda d, R, t, v: backproject_depth(
@@ -470,12 +478,13 @@ class PatchMatchMVS:
             jnp.asarray(Rs), jnp.asarray(ts),
             conf_all >= min_views,
         )
-        pts_b = np.asarray(pts_b)        # (V, h*w, 3)
-        mask_b = np.asarray(mask_b)      # (V, h*w)
-        sel = mask_b.reshape(-1)
-        points = pts_b.reshape(-1, 3)[sel].astype(np.float32)
+        # Device-side compaction: download only the selected points (+ flat
+        # indices for the host-side color lookup), not every depth-map slot.
+        from recon3d_tpu.dense.plane_sweep import fused_points_compact
+
+        points, sel_idx = fused_points_compact(pts_b, mask_b)
         colors = (
-            small[[row[i] for i in ids]].reshape(-1, 3)[sel] * 255
+            small[[row[i] for i in ids]].reshape(-1, 3)[sel_idx] * 255
         ).astype(np.uint8)
         t_fuse = time.time() - t0 - t_prep - t_depth
         if len(points):

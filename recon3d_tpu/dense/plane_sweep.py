@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from recon3d_tpu.camera import Camera
 from recon3d_tpu.config import PlaneSweepConfig
-from recon3d_tpu.ops.image import bilinear_sample, box_filter, resize, rgb_to_gray
+from recon3d_tpu.ops.image import bilinear_sample, box_filter
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -160,6 +160,41 @@ def backproject_depth(
     return Xw, valid.reshape(-1)
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_masked(pts: jnp.ndarray, mask: jnp.ndarray, cap: int):
+    """Gather the masked rows of (N, 3) points into a fixed (cap, 3) buffer
+    plus their flat indices (cap,). Device-side compaction: the fused point
+    cloud is typically <10% of the depth-map pixels, so downloading only the
+    compacted rows (instead of every (V, H*W, 3) slot) cuts the dominant
+    fusion download by ~10x over a slow host<->device link."""
+    idx = jnp.nonzero(mask.reshape(-1), size=cap, fill_value=-1)[0]
+    good = idx >= 0
+    taken = jnp.take(pts.reshape(-1, 3), jnp.maximum(idx, 0), axis=0)
+    return taken, idx, good
+
+
+def fused_points_compact(pts_b, mask_b, lo: int = 8192):
+    """Host wrapper: count (one tiny download), bucket the capacity, compact
+    on device, download only the compacted block. Returns (points (M, 3)
+    float32 numpy, flat_indices (M,) numpy int)."""
+    n = int(jnp.sum(mask_b))
+    if n == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0,), np.int64)
+    total = int(np.prod(mask_b.shape))
+    cap = lo
+    while cap < n and cap < total:
+        cap *= 4
+    cap = min(cap, total)
+    taken, idx, good = _compact_masked(
+        jnp.asarray(pts_b).reshape(-1, 3), jnp.asarray(mask_b), cap
+    )
+    goodn = np.asarray(good)
+    return (
+        np.asarray(taken)[goodn].astype(np.float32),
+        np.asarray(idx)[goodn].astype(np.int64),
+    )
+
+
 def depth_range_from_poses(Rs: np.ndarray, ts: np.ndarray) -> Tuple[float, float]:
     """Depth bounds from the camera-center spread (reference :86-92)."""
     C = np.stack([-R.T @ t for R, t in zip(Rs, ts)])
@@ -223,17 +258,13 @@ class PlaneSweepReconstructor:
         Ws = int(images.shape[2] * scale)
         K = np.asarray(self.camera.scaled(scale).K)
 
-        # Ship images to the device as uint8 (4x less transfer — the
-        # host<->device link, not compute, bounds this stage) and convert +
-        # resize on device.
-        img_u8 = np.clip(images[ids] * 255.0, 0, 255).astype(np.uint8)
-        small_d = jax.jit(
-            jax.vmap(
-                lambda im: resize(im.astype(jnp.float32) / 255.0, (Hs, Ws))
-            )
-        )(jnp.asarray(img_u8))
-        small = np.asarray(small_d)
-        grays = np.asarray(jax.jit(jax.vmap(rgb_to_gray))(small_d))
+        # Downscale + gray on the HOST (see dense/patchmatch.py): only the
+        # small gray planes below are device inputs, so full-res frames
+        # never cross the link.
+        from recon3d_tpu.io.hostimg import resize_batch_np, rgb_to_gray_np
+
+        small = resize_batch_np(images[ids], (Hs, Ws))
+        grays = rgb_to_gray_np(small)
         id_row = {i: r for r, i in enumerate(ids)}
 
         Rs = np.stack([poses[i][0] for i in ids])
@@ -283,27 +314,29 @@ class PlaneSweepReconstructor:
         depth_b, cnt_b, ncc_b = sweep_b(
             ref_g, src_g, R_refs, t_refs, R_srcs, t_srcs
         )
-        depth_b = np.asarray(depth_b)
-        cnt_b = np.asarray(cnt_b)
-
-        all_pts, all_cols = [], []
-        for r, i in enumerate(ref_ids):
-            valid = cnt_b[r] >= min(cfg.min_views, len(neighbors[i]))
-            pts, mask = backproject_depth(
-                jnp.asarray(depth_b[r]), Kj,
-                jnp.asarray(poses[i][0]), jnp.asarray(poses[i][1]),
-                jnp.asarray(valid),
+        # Fusion: back-project every consistent pixel of every reference
+        # view in ONE vmapped dispatch (kept on device until a single
+        # download) — a per-view loop costs a round-trip per depth map.
+        min_views_r = jnp.asarray(
+            [min(cfg.min_views, len(neighbors[i])) for i in ref_ids],
+            jnp.int32,
+        )
+        fuse = jax.jit(
+            jax.vmap(
+                lambda d, R, t, v: backproject_depth(d, Kj, R, t, v)
             )
-            mask_np = np.asarray(mask)
-            pts_np = np.asarray(pts)[mask_np]
-            cols_np = (small[id_row[i]].reshape(-1, 3)[mask_np] * 255).astype(np.uint8)
-            all_pts.append(pts_np)
-            all_cols.append(cols_np)
-
-        if not all_pts:
+        )
+        pts_b, mask_b = fuse(
+            depth_b, R_refs, t_refs, cnt_b >= min_views_r[:, None, None]
+        )
+        # Device-side compaction (see fused_points_compact): only selected
+        # points cross the link.
+        points, sel_idx = fused_points_compact(pts_b, mask_b)
+        if len(points) == 0:
             return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
-        points = np.concatenate(all_pts)
-        colors = np.concatenate(all_cols)
+        colors = (
+            small[[id_row[i] for i in ref_ids]].reshape(-1, 3)[sel_idx] * 255
+        ).astype(np.uint8)
 
         from recon3d_tpu.dense.filters import radius_outlier_filter, voxel_downsample
 

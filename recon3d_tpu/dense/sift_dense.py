@@ -29,7 +29,6 @@ from recon3d_tpu.dense.filters import (
     knn_statistical_filter,
 )
 from recon3d_tpu.features.frontend import FeatureExtractor, FeatureMatcher
-from recon3d_tpu.ops.image import rgb_to_gray
 from recon3d_tpu.ops.triangulate import triangulate_dlt, validate_triangulation
 
 
@@ -89,9 +88,11 @@ class DenseSiftReconstructor:
 
         K = jnp.asarray(np.asarray(self.camera.K), jnp.float32)
 
-        grays = np.asarray(
-            jax.jit(jax.vmap(rgb_to_gray))(jnp.asarray(images[ids]))
-        )
+        # Gray on the host — extract_batch ships uint8 gray; full-res RGB
+        # float32 never crosses the link (see io/hostimg.py).
+        from recon3d_tpu.io.hostimg import rgb_to_gray_np
+
+        grays = rgb_to_gray_np(images[ids])
         feats = self._extractor.extract_batch(grays)  # stacked (V, ...)
         xy_all = np.asarray(feats.xy)                 # one host pull
 

@@ -78,7 +78,7 @@ class FeatureExtractor:
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
 
-    def extract_batch(self, images: np.ndarray, chunk: int = 8):
+    def extract_batch(self, images: np.ndarray, chunk: int = 16):
         """Batched extraction: (V, H, W) float32 [0,1] -> ONE stacked
         SiftFeatures whose arrays have a leading view axis (V, ...).
 
@@ -230,7 +230,7 @@ def match_pairs_batched(
     pairs,                    # list[(i, j)]
     key: jax.Array,
     config: Optional[MatchConfig] = None,
-    chunk: int = 16,
+    chunk: int = 64,
 ):
     """Host-facing batched pair matching: stacks the per-image features once
     and runs _match_verify_batch over pair chunks.

@@ -109,18 +109,33 @@ def load_image_set(
         )
         camera = camera.scaled(first_scale) if first_scale < 1.0 else camera
 
-    color_j = jnp.asarray(color)
     has_dist = bool(np.any(np.abs(np.asarray(camera.dist)) > 1e-12))
     if has_dist:
-        undist = jax.jit(jax.vmap(lambda im: undistort_image(im, camera.K, camera.dist)))
-        color_j = undist(color_j)
+        # Undistortion is a device warp; ship uint8 both ways (4x fewer
+        # bytes than float32 — the link, not compute, bounds loading).
+        u8 = np.clip(color * 255.0, 0.0, 255.0).astype(np.uint8)
+        undist = jax.jit(
+            jax.vmap(
+                lambda im: jnp.clip(
+                    undistort_image(
+                        im.astype(jnp.float32) / 255.0, camera.K, camera.dist
+                    )
+                    * 255.0,
+                    0.0,
+                    255.0,
+                ).astype(jnp.uint8)
+            )
+        )
+        color = np.asarray(undist(jnp.asarray(u8))).astype(np.float32) / 255.0
         camera = Camera(K=camera.K, dist=jnp.zeros_like(camera.dist))
 
-    gray_j = jax.jit(jax.vmap(rgb_to_gray))(color_j)
+    # Gray on the host: shipping full-res float32 RGB through the device
+    # just for a dot product costs seconds/frame over the link.
+    from recon3d_tpu.io.hostimg import rgb_to_gray_np
 
     return ImageSet(
-        gray=np.asarray(gray_j),
-        color=np.asarray(color_j),
+        gray=rgb_to_gray_np(color),
+        color=color,
         camera=camera,
         names=files,
         sizes=sizes,
@@ -132,9 +147,11 @@ def image_set_from_arrays(
     images: np.ndarray, camera: Camera, names: Optional[List[str]] = None
 ) -> ImageSet:
     """Wrap pre-loaded (V, H, W, 3) float arrays (synthetic scenes, tests)."""
+    from recon3d_tpu.io.hostimg import rgb_to_gray_np
+
     images = np.asarray(images, np.float32)
     V, H, W = images.shape[:3]
-    gray = np.asarray(jax.jit(jax.vmap(rgb_to_gray))(jnp.asarray(images)))
+    gray = rgb_to_gray_np(images)
     return ImageSet(
         gray=gray,
         color=images,

@@ -273,10 +273,23 @@ def bundle_adjust(
     config = config or BundleConfig()
     cam_ids = sorted(poses.keys())
     cam_row = {c: i for i, c in enumerate(cam_ids)}
-    C = len(cam_ids)
-    P = len(points)
-    if C < 2 or P < 8:
+    nC = len(cam_ids)
+    nP = len(points)
+    if nC < 2 or nP < 8:
         return poses, points, {"iterations": 0}
+    # Pad cameras and points to pow2 buckets so the (expensive to compile)
+    # LM while_loop program is reused across BA calls as the reconstruction
+    # grows. Padded cameras are identity with no observations (their
+    # gradient is exactly zero, so CG leaves them untouched); padded points
+    # sit at the origin, also observation-free.
+    def _bucket(n, lo):  # x4 growth: few distinct compiles, cache-friendly
+        c = lo
+        while c < n:
+            c *= 4
+        return c
+
+    C = _bucket(nC, 4)
+    P = _bucket(nP, 256)
 
     oc, op, oxy = [], [], []
     for pid, obs in enumerate(observations):
@@ -286,7 +299,7 @@ def bundle_adjust(
                 op.append(pid)
                 oxy.append(kp_xy[cam][kp])
     O = len(oc)
-    cap = 1 << max(8, (O - 1).bit_length())
+    cap = _bucket(O, 256)  # observation axis: same x4 bucket scheme
     obs_cam = np.zeros(cap, np.int32)
     obs_pt = np.zeros(cap, np.int32)
     obs_xy = np.zeros((cap, 2), np.float32)
@@ -296,11 +309,19 @@ def bundle_adjust(
     obs_xy[:O] = np.asarray(oxy, np.float32)
     obs_w[:O] = 1.0
 
+    R0 = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+    t0 = np.zeros((C, 3), np.float32)
+    t0[:, 2] = 1.0
+    R0[:nC] = np.stack([poses[c][0] for c in cam_ids])
+    t0[:nC] = np.stack([poses[c][1] for c in cam_ids])
+    X0 = np.zeros((P, 3), np.float32)
+    X0[:nP] = points
+
     data = BAData(
         K=jnp.asarray(K, jnp.float32),
-        R0=jnp.asarray(np.stack([poses[c][0] for c in cam_ids]), jnp.float32),
-        t0=jnp.asarray(np.stack([poses[c][1] for c in cam_ids]), jnp.float32),
-        X0=jnp.asarray(points, jnp.float32),
+        R0=jnp.asarray(R0),
+        t0=jnp.asarray(t0),
+        X0=jnp.asarray(X0),
         obs_cam=jnp.asarray(obs_cam),
         obs_pt=jnp.asarray(obs_pt),
         obs_xy=jnp.asarray(obs_xy),
@@ -328,7 +349,7 @@ def bundle_adjust(
     R_final = np.asarray(data.R0)
     t_final = np.asarray(data.t0)
     new_poses = {c: (R_final[i], t_final[i]) for c, i in cam_row.items()}
-    new_points = np.asarray(data.X0)
+    new_points = np.asarray(data.X0)[:nP]
     r_fin = _residuals(params, data, jnp.ones_like(data.obs_w))
     rms1 = float(jnp.sqrt(jnp.sum(r_fin**2) / max(O, 1)))
     stats = {"iterations": iters, "rms_before": rms0, "rms_after": rms1, "num_obs": O}

@@ -48,10 +48,19 @@ from recon3d_tpu.ops.triangulate import (
 )
 
 
-def _pad_pow2(n: int, lo: int = 256, hi: int = 16384) -> int:
+def _pad_pow2(n: int, lo: int = 256, hi: int = 16384, factor: int = 4) -> int:
+    """Pad a data-dependent size to a geometric bucket (default x4 growth).
+
+    EVERY device-facing batch dimension in this pipeline goes through a
+    bucket like this: XLA compiles one program per distinct shape, and over
+    a high-latency tunnel a fresh 20-40 s compile per wave dwarfs the actual
+    device time. Coarse x4 buckets keep the number of distinct programs to a
+    handful per run (reused from the persistent compile cache across runs AND
+    across scenes, since buckets are scene-independent); the padded slots are
+    masked, cheap linear work."""
     c = lo
     while c < n and c < hi:
-        c *= 2
+        c *= factor
     return c
 
 
@@ -423,9 +432,12 @@ class SfMPipeline:
         if not ranked:
             return None
         K = self.camera.K
-        B = len(ranked)
+        # fixed batch of 10 (pad with identity-F zero-mask rows) — one
+        # compiled program regardless of how many candidates exist
+        B = 10
         cap = _pad_pow2(max(len(m["idx1"]) for _, m in ranked))
-        Fs = np.stack([m["F"] for _, m in ranked]).astype(np.float32)
+        Fs = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+        Fs[: len(ranked)] = np.stack([m["F"] for _, m in ranked])
         x1p = np.zeros((B, cap, 2), np.float32)
         x2p = np.zeros((B, cap, 2), np.float32)
         maskp = np.zeros((B, cap), np.float32)
@@ -542,7 +554,9 @@ class SfMPipeline:
         cfg = self.config.sfm
         if not cands:
             return []
-        B = len(cands)
+        # Batch axis padded to a pow2 bucket: the wave size ramps 1,1,2,3,5...
+        # and an unpadded batch would compile a fresh PnP program per wave.
+        B = _pad_pow2(len(cands), lo=1, hi=1024)
         cap = _pad_pow2(max(len(k) for _, k, _ in cands))
         Xp = np.zeros((B, cap, 3), np.float32)
         xp = np.zeros((B, cap, 2), np.float32)
@@ -720,8 +734,12 @@ class SfMPipeline:
         if link_pid:
             cams = sorted(self.registered)
             cam_row = {c: r for r, c in enumerate(cams)}
-            Rs = np.stack([self.poses[c][0] for c in cams]).astype(np.float32)
-            ts = np.stack([self.poses[c][1] for c in cams]).astype(np.float32)
+            # camera table padded to a pow2 bucket (gather never hits pad rows)
+            Ct = _pad_pow2(len(cams), lo=2, hi=4096)
+            Rs = np.tile(np.eye(3, dtype=np.float32), (Ct, 1, 1))
+            ts = np.zeros((Ct, 3), np.float32)
+            Rs[: len(cams)] = np.stack([self.poses[c][0] for c in cams])
+            ts[: len(cams)] = np.stack([self.poses[c][1] for c in cams])
             n = len(link_pid)
             cap = _pad_pow2(n)
             Xp = np.zeros((cap, 3), np.float32)
@@ -748,14 +766,15 @@ class SfMPipeline:
         fresh_sets = [(a, b, ka, kb) for (a, b, ka, kb) in fresh_sets if len(ka)]
         if not fresh_sets:
             return 0
-        P = len(fresh_sets)
+        # pair axis padded to a pow2 bucket (identity poses, zero masks)
+        P = _pad_pow2(len(fresh_sets), lo=1, hi=4096)
         cap = _pad_pow2(max(len(ka) for _, _, ka, _ in fresh_sets))
         x1p = np.zeros((P, cap, 2), np.float32)
         x2p = np.zeros((P, cap, 2), np.float32)
         maskp = np.zeros((P, cap), np.float32)
-        R1s = np.zeros((P, 3, 3), np.float32)
+        R1s = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
         t1s = np.zeros((P, 3), np.float32)
-        R2s = np.zeros((P, 3, 3), np.float32)
+        R2s = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
         t2s = np.zeros((P, 3), np.float32)
         for r, (a, b, ka, kb) in enumerate(fresh_sets):
             x1p[r, : len(ka)] = self.kp_xy[a][ka]
@@ -819,7 +838,10 @@ class SfMPipeline:
             x = self.kp_xy[i][kps].astype(np.float32)
             obs.append((X, x))
         cap = _pad_pow2(max(len(X) for X, _ in obs))
-        C = len(cams)
+        # Camera axis padded to a pow2 bucket (zero-weight identity rows):
+        # C grows every wave, and each distinct C would otherwise compile a
+        # fresh fused refinement program.
+        C = _pad_pow2(len(cams), lo=2, hi=4096)
         Xs = np.zeros((C, cap, 3), np.float32)
         xs = np.zeros((C, cap, 2), np.float32)
         ws = np.zeros((C, cap), np.float32)
@@ -827,8 +849,10 @@ class SfMPipeline:
             Xs[r, : len(X)] = X
             xs[r, : len(x)] = x
             ws[r, : len(X)] = 1
-        Rs = np.stack([self.poses[i][0] for i in cams]).astype(np.float32)
-        ts = np.stack([self.poses[i][1] for i in cams]).astype(np.float32)
+        Rs = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+        ts = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (C, 1))
+        Rs[: len(cams)] = np.stack([self.poses[i][0] for i in cams])
+        ts[: len(cams)] = np.stack([self.poses[i][1] for i in cams])
         return cams, Rs, ts, Xs, xs, ws
 
     def bundle_adjustment_light(self, iterations: int = 2):
