@@ -423,16 +423,28 @@ class PatchMatchMVS:
 
         t_prep = time.time() - t0
         key = jax.random.PRNGKey(cfg.seed)
+        # ONE upload of the whole small gray stack; per-batch ref/source
+        # planes are device-side gathers (a per-batch float32 upload costs
+        # ~5x the bytes over the link and a transfer stall per batch).
+        grays_d = jnp.asarray(grays)
+        n_batches = (V + views_per_batch - 1) // views_per_batch
+        keys_np = np.asarray(
+            jax.random.split(key, n_batches * views_per_batch)
+        )
         batch_outs: List[DepthNormalMap] = []  # padded (views_per_batch, ...)
         real_rows: List[int] = []              # row in the concatenated stack
-        for b0 in range(0, V, views_per_batch):
+        for bi, b0 in enumerate(range(0, V, views_per_batch)):
             batch = ids[b0 : b0 + views_per_batch]
             nB = len(batch)
             pad = views_per_batch - nB
             bid = batch + [batch[-1]] * pad  # pad batch to static size
-            ref_g = jnp.asarray(grays[[row[i] for i in bid]])
-            src_g = jnp.asarray(
-                np.stack([grays[[row[j] for j in sources[i]]] for i in bid])
+            ref_g = jnp.take(
+                grays_d, jnp.asarray([row[i] for i in bid]), axis=0
+            )
+            src_g = jnp.take(
+                grays_d,
+                jnp.asarray([[row[j] for j in sources[i]] for i in bid]),
+                axis=0,
             )
             out = patchmatch_depth_batch(
                 ref_g, src_g, jnp.asarray(K),
@@ -441,7 +453,9 @@ class PatchMatchMVS:
                 jnp.asarray(np.stack([Rs[[row[j] for j in sources[i]]] for i in bid])),
                 jnp.asarray(np.stack([ts[[row[j] for j in sources[i]]] for i in bid])),
                 jnp.asarray(ranges[[row[i] for i in bid]]),
-                jax.random.split(jax.random.fold_in(key, b0), views_per_batch),
+                jnp.asarray(
+                    keys_np[bi * views_per_batch : (bi + 1) * views_per_batch]
+                ),
                 num_iterations=cfg.num_iterations,
                 num_samples=cfg.num_refine_samples,
                 patch=cfg.patch_size,

@@ -285,9 +285,19 @@ class PlaneSweepReconstructor:
         # All reference views sweep as ONE vmapped batch (the reference
         # loops them serially on one GPU, dense_stereo.py:105-130); this is
         # also the multi-chip axis (dense/distributed.py).
-        ref_g = jnp.asarray(grays[[id_row[i] for i in ref_ids]])
-        src_g = jnp.asarray(
-            np.stack([grays[[id_row[j] for j in neighbors[i][:J]]] for i in ref_ids])
+        # ONE upload of the small gray stack; ref/source planes are
+        # device-side gathers (the (R, J, h, w) source stack re-uploads each
+        # gray J times otherwise).
+        grays_d = jnp.asarray(grays)
+        ref_g = jnp.take(
+            grays_d, jnp.asarray([id_row[i] for i in ref_ids]), axis=0
+        )
+        src_g = jnp.take(
+            grays_d,
+            jnp.asarray(
+                [[id_row[j] for j in neighbors[i][:J]] for i in ref_ids]
+            ),
+            axis=0,
         )
         R_refs = jnp.asarray(np.stack([poses[i][0] for i in ref_ids]))
         t_refs = jnp.asarray(np.stack([poses[i][1] for i in ref_ids]))

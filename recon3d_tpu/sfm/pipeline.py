@@ -915,20 +915,30 @@ class SfMPipeline:
 
     # -- stage 7: full run --------------------------------------------------------
 
-    def try_recover_images(self):
+    def try_recover_images(self, rounds: int = 3):
         """Retry previously failed registrations (reference :778-789) — the
-        whole retry set as one batched wave."""
-        retry = sorted(self.failed)
-        self.failed.clear()
-        cands = []
-        for i in retry:
-            c = self._corr_arrays(i)
-            if c is not None:
-                cands.append((i, c[0], c[1]))
-        accepted = self._register_wave(cands)
-        if accepted:
-            self._triangulate_images(accepted)
-        self.failed.update(set(retry) - set(accepted))
+        whole retry set as one batched wave per round. Multiple rounds with
+        fresh RANSAC keys: each acceptance triangulates new points, which can
+        give the remaining failures enough 2D-3D correspondences (and a
+        successful pose pass is itself stochastic in the hypothesis draw)."""
+        for _ in range(rounds):
+            retry = sorted(self.failed)
+            if not retry:
+                return
+            self.failed.clear()
+            cands = []
+            for i in retry:
+                c = self._corr_arrays(i)
+                if c is not None:
+                    cands.append((i, c[0], c[1]))
+            accepted = self._register_wave(cands)
+            if accepted:
+                self._triangulate_images(accepted)
+                self.bundle_adjustment_light()
+                print(f"[sfm] recovered {accepted}")
+            self.failed.update(set(retry) - set(accepted))
+            if not accepted:
+                return
 
     def reconstruct(
         self,
