@@ -363,11 +363,11 @@ class SfMPipeline:
                         n=len(idx1),
                     )
                     kept += 1
+        print(f"[sfm] matched {kept}/{len(pairs)} pairs "
+              f"({time.time() - t0:.1f}s)")
+        self._bridge_components(n)
         self.stats["match_time"] = time.time() - t0
         self.stats["num_pairs"] = kept
-        print(f"[sfm] matched {kept}/{len(pairs)} pairs "
-              f"({self.stats['match_time']:.1f}s)")
-        self._bridge_components(n)
 
     def _components(self, n: int) -> List[Set[int]]:
         """Connected components of the match graph (reference :247-277)."""
@@ -955,6 +955,7 @@ class SfMPipeline:
             self.load_images(image_dir, max_images)
         elif self.image_set is None:
             raise ValueError("need image_dir or image_set")
+        self.stats["load_time"] = time.time() - t0
 
         self.extract_features()
         self.match_image_pairs()
@@ -980,33 +981,48 @@ class SfMPipeline:
         # dispatch), so the next wave's PnP sees polished poses.
         since_ba = 0
         wave_cap = max(1, self.config.sfm.registration_wave_size)
+        tw = {"cands": 0.0, "register": 0.0, "triangulate": 0.0,
+              "ba_light": 0.0, "ba_full": 0.0}
         while True:
+            tm = time.time()
             cands = self._wave_candidates()
+            tw["cands"] += time.time() - tm
             if not cands:
                 break
             ramp = max(1, (len(self.registered) - 1) // 2)
             wave = cands[: min(wave_cap, ramp)]
+            tm = time.time()
             accepted = self._register_wave(wave)
+            tw["register"] += time.time() - tm
             for i, _, _ in wave:
                 if i not in self.registered:
                     self.failed.add(i)
                     print(f"[sfm] failed to register image {i}")
             if accepted:
+                tm = time.time()
                 n_new = self._triangulate_images(accepted)
+                tw["triangulate"] += time.time() - tm
                 since_ba += len(accepted)
                 print(f"[sfm] registered wave {accepted} "
                       f"({len(self.registered)}/{len(self.features)}), +{n_new} points")
+                tm = time.time()
                 self.bundle_adjustment_light()
+                tw["ba_light"] += time.time() - tm
                 # Periodic FULL BA (points + poses): wave registration defers
                 # the between-image geometry updates of the sequential order,
                 # so drifted points must be re-solved, not just re-posed —
                 # this is the reference's every-5-cameras "BA" (:855-857)
                 # upgraded from motion-only to a true sparse LM solve.
                 if since_ba >= self.config.sfm.ba_every_n_cameras:
+                    tm = time.time()
                     self.bundle_adjustment_full()
+                    tw["ba_full"] += time.time() - tm
                     since_ba = 0
 
         self.stats["incremental_time"] = time.time() - t_incr
+        self.stats["incremental_breakdown_s"] = {
+            k: round(v, 2) for k, v in tw.items()
+        }
         t_ba = time.time()
         self.bundle_adjustment_light()
         self.try_recover_images()
@@ -1019,10 +1035,18 @@ class SfMPipeline:
         self.stats["num_points"] = len(self.points3d)
         self.stats["num_cameras"] = len(self.registered)
         self.stats["mean_reproj_px"] = self._mean_reproj_error()
+        accounted = sum(
+            self.stats.get(k, 0.0)
+            for k in ("load_time", "extract_time", "match_time", "init_time",
+                      "incremental_time", "final_ba_time")
+        )
         print(
             f"[sfm] done: {len(self.points3d)} points, "
             f"{len(self.registered)}/{len(self.features)} cameras, "
-            f"reproj {self.stats['mean_reproj_px']:.3f} px, {elapsed:.1f}s"
+            f"reproj {self.stats['mean_reproj_px']:.3f} px, {elapsed:.1f}s "
+            f"(stages {accounted:.1f}s; load "
+            f"{self.stats.get('load_time', 0.0):.1f}s; waves "
+            f"{self.stats.get('incremental_breakdown_s')})"
         )
 
         points = np.stack(self.points3d) if self.points3d else np.zeros((0, 3), np.float32)
