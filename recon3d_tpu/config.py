@@ -55,6 +55,13 @@ class NeuralConfig:
     lightglue_weights: Optional[str] = None
     lightglue_layers: int = 9
     descriptor_dim: int = 256
+    # Matcher backend: "lightglue" (attention GNN), "nn" (mutual-NN + ratio
+    # on SuperPoint descriptors), or "auto" = lightglue when trained weights
+    # were supplied, else nn. A random-init LightGlue produces noise, while
+    # descriptor NN matching works with the bundled synthetic-pretrained
+    # SuperPoint — so the neural path functions without any downloads.
+    matcher: str = "auto"
+    nn_ratio: float = 0.95
 
 
 @dataclass(frozen=True)

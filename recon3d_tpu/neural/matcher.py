@@ -6,13 +6,17 @@ with the same contract as the classical FeatureMatcher (matches + F-RANSAC),
 so SfMPipeline swaps frontends transparently (reference sfm_pipeline.py:41-50).
 
 Weights: pass checkpoint paths via NeuralConfig (torch .pth files are
-converted on load, recon3d_tpu.neural.weights). Without weights the models
-run random-initialized — useful for pipeline/sharding tests; matching
-quality then obviously carries no meaning (this environment has no egress
-to download the published checkpoints).
+converted on load, recon3d_tpu.neural.weights). With no explicit weights,
+SuperPoint auto-loads the bundled synthetic-pretrained checkpoint
+(neural/pretrained/superpoint_synthetic.npz, produced by neural.pretrain)
+and matching falls back to mutual-NN descriptor matching — so the neural
+path works out of the box in a zero-egress environment; LightGlue engages
+when its trained weights are supplied.
 """
 
 from __future__ import annotations
+
+import os
 
 from typing import Dict, Optional, Tuple
 
@@ -51,6 +55,18 @@ class NeuralMatcher:
         self._lg_params = None
         self._extract_jit: Dict[Tuple[int, int], callable] = {}
         self._match_jit: Dict[Tuple[int, int], callable] = {}
+        # "auto": LightGlue only when trained weights are available —
+        # explicit torch weights or the bundled synthetic checkpoint.
+        m = self.config.matcher
+        self._bundled_lg = os.path.join(
+            os.path.dirname(__file__), "pretrained", "lightglue_synthetic.npz"
+        )
+        has_lg = bool(self.config.lightglue_weights) or os.path.exists(
+            self._bundled_lg
+        )
+        self.matcher_kind = (
+            m if m in ("lightglue", "nn") else ("lightglue" if has_lg else "nn")
+        )
 
     # -- parameters ---------------------------------------------------------
 
@@ -79,12 +95,36 @@ class NeuralMatcher:
             self._sp_params = load_superpoint_torch(
                 self.config.superpoint_weights, self._sp_params
             )
+        else:
+            bundled = os.path.join(
+                os.path.dirname(__file__), "pretrained",
+                "superpoint_synthetic.npz",
+            )
+            if os.path.exists(bundled):
+                from recon3d_tpu.neural.weights import load_params_npz
+
+                try:
+                    self._sp_params = load_params_npz(bundled, self._sp_params)
+                except (KeyError, ValueError):
+                    # non-default model config (e.g. descriptor_dim) — the
+                    # bundled default-shape checkpoint does not apply
+                    pass
         if self.config.lightglue_weights:
             from recon3d_tpu.neural.weights import load_lightglue_torch
 
             self._lg_params = load_lightglue_torch(
                 self.config.lightglue_weights, self._lg_params
             )
+        elif os.path.exists(self._bundled_lg):
+            from recon3d_tpu.neural.weights import load_params_npz
+
+            try:
+                self._lg_params = load_params_npz(
+                    self._bundled_lg, self._lg_params
+                )
+            except (KeyError, ValueError):
+                if self.config.matcher == "auto":
+                    self.matcher_kind = "nn"  # incompatible model config
 
     # -- extraction (reference neural_matcher.py:67-99) ----------------------
 
@@ -119,6 +159,17 @@ class NeuralMatcher:
     def match(self, f1: NeuralFeatures, f2: NeuralFeatures,
               hw: Optional[Tuple[int, int]] = None) -> MatchResult:
         self._ensure_params(hw or (1024, 1024))
+        if self.matcher_kind == "nn":
+            if not hasattr(self, "_nn_jit"):
+                from recon3d_tpu.ops.match import match_descriptors
+
+                ratio = self.config.nn_ratio
+                self._nn_jit = jax.jit(
+                    lambda a, b: match_descriptors(
+                        a.desc, b.desc, a.valid, b.valid, ratio=ratio
+                    )
+                )
+            return self._nn_jit(f1, f2)
         k = int(f1.xy.shape[0])
         sig = (k, int(f2.xy.shape[0]))
         if sig not in self._match_jit:
@@ -171,17 +222,27 @@ class NeuralMatcher:
         if sig not in self._pairs_jit:
             lg = self.lg
             mc = self.match_config
+            kind = self.matcher_kind
+            nn_ratio = self.config.nn_ratio
 
             @jax.jit
             def fn(params, desc, xy, valid, pi, pj, keys, hw):
                 def one(i, j, key):
-                    xy0n = normalize_keypoints(xy[i], hw)
-                    xy1n = normalize_keypoints(xy[j], hw)
-                    log_assign, m0, m1 = lg.apply(
-                        params, desc[i], desc[j], xy0n, xy1n,
-                        valid[i], valid[j],
-                    )
-                    m = extract_matches(log_assign, valid[i], valid[j])
+                    if kind == "nn":
+                        from recon3d_tpu.ops.match import match_descriptors
+
+                        m = match_descriptors(
+                            desc[i], desc[j], valid[i], valid[j],
+                            ratio=nn_ratio,
+                        )
+                    else:
+                        xy0n = normalize_keypoints(xy[i], hw)
+                        xy1n = normalize_keypoints(xy[j], hw)
+                        log_assign, m0, m1 = lg.apply(
+                            params, desc[i], desc[j], xy0n, xy1n,
+                            valid[i], valid[j],
+                        )
+                        m = extract_matches(log_assign, valid[i], valid[j])
                     x1 = jnp.where(m.mask[:, None], xy[i], 0.0)
                     x2 = jnp.where(
                         m.mask[:, None], xy[j][jnp.clip(m.idx2, 0, None)], 0.0

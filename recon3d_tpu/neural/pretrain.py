@@ -1,0 +1,293 @@
+"""Synthetic SuperPoint pretraining driver (MagicPoint recipe on TPU).
+
+The reference's neural path is dead without the published torch checkpoints
+(src/core/neural_matcher.py:47-66 downloads via the lightglue package); this
+framework can *produce* its own detector+descriptor weights from synthetic
+geometry, so `--neural` works out of the box in a zero-egress environment.
+
+Run:
+    python -m recon3d_tpu.neural.pretrain --steps 3000 \
+        --out recon3d_tpu/neural/pretrained/superpoint_synthetic.npz
+
+Data is generated host-side (numpy, recon3d_tpu.neural.synthetic) in
+rounds: each round uploads a stacked set of compact uint8 batches once and
+runs batches*epochs optimizer steps in a single device dispatch
+(detector CE + homography-correspondence InfoNCE) — on a high-latency link
+the transfer cadence, not compute, sets the wall-clock floor, so steps per
+uploaded byte is the metric that matters.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def train(
+    steps: int = 3000,
+    batch: int = 32,
+    hw=(128, 128),
+    lr: float = 1e-3,
+    seed: int = 0,
+    out: str | None = None,
+    desc_weight: float = 1.0,
+    batches_per_round: int = 12,
+    epochs_per_round: int = 16,
+):
+    """Round-based training: each round generates `batches_per_round` fresh
+    compact batches on the host, uploads them once, and runs
+    `batches_per_round * epochs_per_round` optimizer steps in a single
+    device dispatch (train.make_epoch_train_fn) — amortizing the
+    host<->device link cost that dominates a step-at-a-time loop on a
+    tunneled TPU."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from recon3d_tpu.config import MeshConfig
+    from recon3d_tpu.parallel.mesh import make_mesh
+    from recon3d_tpu.neural.superpoint import SuperPointNet
+    from recon3d_tpu.neural.train import TrainState, make_epoch_train_fn
+    from recon3d_tpu.neural.synthetic import make_pair_batch_compact
+    from recon3d_tpu.neural.weights import save_params_npz
+
+    n_dev = jax.local_device_count()
+    batch = ((max(batch, n_dev) + n_dev - 1) // n_dev) * n_dev  # dp-divisible
+    mesh = make_mesh(MeshConfig(model_parallel=1))
+    model = SuperPointNet()
+    key = jax.random.PRNGKey(seed)
+    params = model.init(key, jnp.zeros((1, hw[0], hw[1], 1), jnp.float32))
+    # Adam with a short warmup then cosine decay: the detector head's 65-way
+    # softmax saturates with a fixed 1e-3 on this small corpus.
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=min(100, steps // 10 + 1),
+        decay_steps=max(steps, 2), end_value=lr * 0.05,
+    )
+    tx = optax.adam(sched)
+    state = TrainState(
+        params=params, opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+    steps_per_round = batches_per_round * epochs_per_round
+    run = make_epoch_train_fn(
+        model, tx, mesh, epochs=epochs_per_round, desc_weight=desc_weight
+    )
+
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    done = 0
+    with mesh:
+        while done < steps:
+            data = [
+                make_pair_batch_compact(rng, batch, hw)
+                for _ in range(batches_per_round)
+            ]
+            stacked = {
+                k: jnp.asarray(np.stack([d[k] for d in data]))
+                for k in data[0]
+            }
+            state, losses = run(state, stacked)
+            done += steps_per_round
+            l, det, dsc = np.asarray(losses[-1])
+            print(
+                f"[pretrain] step {done}/{steps} loss {l:.4f} "
+                f"(det {det:.4f} desc {dsc:.4f}) "
+                f"{done / (time.time() - t0):.2f} steps/s",
+                flush=True,
+            )
+    if out:
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        save_params_npz(jax.device_get(state.params), out)
+        print(f"[pretrain] saved checkpoint -> {out}")
+    return state
+
+
+def train_lightglue(
+    steps: int = 4096,
+    batch: int = 16,
+    hw=(128, 128),
+    max_keypoints: int = 256,
+    lr: float = 2e-4,
+    seed: int = 0,
+    out: str | None = None,
+    batches_per_round: int = 8,
+    epochs_per_round: int = 8,
+    gt_radius_px: float = 3.0,
+):
+    """Train LightGlue on synthetic homography pairs with features from the
+    frozen bundled SuperPoint.
+
+    Per round: render pair images on the host, batch-extract SuperPoint
+    features in one device dispatch (features stay device-resident; only
+    the small xy/valid arrays come back to build ground-truth assignments),
+    then run batches*epochs LightGlue optimizer steps in one dispatch."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from recon3d_tpu.config import MeshConfig, NeuralConfig
+    from recon3d_tpu.parallel.mesh import make_mesh
+    from recon3d_tpu.neural.matcher import NeuralMatcher
+    from recon3d_tpu.neural.lightglue import LightGlueNet, normalize_keypoints
+    from recon3d_tpu.neural.superpoint import (
+        scores_from_logits, detect_keypoints,
+    )
+    from recon3d_tpu.neural.train import TrainState, make_lightglue_train_fn
+    from recon3d_tpu.neural.synthetic import (
+        render_shapes, random_homography, warp_image, warp_points,
+    )
+    from recon3d_tpu.neural.weights import save_params_npz
+
+    mesh = make_mesh(MeshConfig(model_parallel=1))
+    # Frozen SuperPoint: the bundled checkpoint via NeuralMatcher's loader.
+    nm = NeuralMatcher(NeuralConfig(max_keypoints=max_keypoints))
+    nm._ensure_params(hw)
+    sp, sp_params = nm.sp, nm._sp_params
+    cfg = nm.config
+
+    @jax.jit
+    def extract_batch(imgs):  # (B2, H, W) float32
+        def one(img):
+            logits, desc = sp.apply(sp_params, img[None, ..., None])
+            return detect_keypoints(
+                scores_from_logits(logits)[0], desc[0],
+                max_keypoints=max_keypoints,
+                detection_threshold=cfg.detection_threshold,
+                nms_radius=cfg.nms_radius,
+            )
+        return jax.vmap(one)(imgs)
+
+    lg = LightGlueNet(dim=cfg.descriptor_dim, num_layers=cfg.lightglue_layers)
+    K, D = max_keypoints, cfg.descriptor_dim
+    lg_params = lg.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((K, D)), jnp.zeros((K, D)),
+        jnp.zeros((K, 2)), jnp.zeros((K, 2)),
+        jnp.ones(K, bool), jnp.ones(K, bool),
+    )
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=min(200, steps // 10 + 1),
+        decay_steps=max(steps, 2), end_value=lr * 0.1,
+    )
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    state = TrainState(params=lg_params, opt_state=tx.init(lg_params),
+                       step=jnp.zeros((), jnp.int32))
+    run = make_lightglue_train_fn(lg, tx, mesh, epochs=epochs_per_round)
+
+    rng = np.random.default_rng(seed)
+    hw_arr = jnp.asarray(hw, jnp.float32)
+    t0 = time.time()
+    done = 0
+    steps_per_round = batches_per_round * epochs_per_round
+    with mesh:
+        while done < steps:
+            # -- host: render pair images for the whole round
+            n_pairs = batches_per_round * batch
+            imgs_a, imgs_b, Hs = [], [], []
+            for _ in range(n_pairs):
+                im, _ = render_shapes(rng, hw)
+                Hm = random_homography(rng, hw)
+                imgs_a.append(im)
+                imgs_b.append(warp_image(im, Hm))
+                Hs.append(Hm)
+            stackab = np.stack(imgs_a + imgs_b)  # (2P, H, W)
+            # -- device: one batched SuperPoint extraction
+            feats = extract_batch(jnp.asarray(stackab))
+            xy = np.asarray(feats.xy)        # (2P, K, 2)
+            valid = np.asarray(feats.valid)  # (2P, K)
+            # -- host: ground-truth assignment under each homography
+            gt = np.full((n_pairs, K), -1, np.int32)
+            for p in range(n_pairs):
+                xa, xb = xy[p], xy[n_pairs + p]
+                va, vb = valid[p], valid[n_pairs + p]
+                proj = warp_points(Hs[p], xa)
+                d = np.hypot(
+                    proj[:, None, 0] - xb[None, :, 0],
+                    proj[:, None, 1] - xb[None, :, 1],
+                )
+                d[~va] = np.inf
+                d[:, ~vb] = np.inf
+                j = np.argmin(d, 1)
+                dj = d[np.arange(K), j]
+                # mutual nearest within the radius -> unique matches
+                back = np.argmin(d, 0)
+                ok = (dj < gt_radius_px) & (back[j] == np.arange(K))
+                gt[p, ok] = j[ok]
+            # -- device: epoch-scan over the round's pairs
+            sh = (batches_per_round, batch, K)
+            data = dict(
+                desc0=feats.desc[:n_pairs].reshape(sh + (D,)),
+                desc1=feats.desc[n_pairs:].reshape(sh + (D,)),
+                xy0n=jax.vmap(lambda a: normalize_keypoints(a, hw_arr))(
+                    feats.xy[:n_pairs]
+                ).reshape(sh + (2,)),
+                xy1n=jax.vmap(lambda a: normalize_keypoints(a, hw_arr))(
+                    feats.xy[n_pairs:]
+                ).reshape(sh + (2,)),
+                valid0=feats.valid[:n_pairs].reshape(sh),
+                valid1=feats.valid[n_pairs:].reshape(sh),
+                gt_idx=jnp.asarray(gt).reshape(sh),
+            )
+            state, losses = run(state, data)
+            done += steps_per_round
+            l, lp, lu = np.asarray(losses[-1])
+            n_m = (gt >= 0).sum(1)
+            print(
+                f"[pretrain-lg] step {done}/{steps} loss {l:.4f} "
+                f"(pos {lp:.4f} unmatch {lu:.4f}) "
+                f"gt-matches/pair {n_m.mean():.0f} "
+                f"{done / (time.time() - t0):.2f} steps/s",
+                flush=True,
+            )
+    if out:
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        save_params_npz(jax.device_get(state.params), out)
+        print(f"[pretrain-lg] saved checkpoint -> {out}")
+    return state
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="SuperPoint synthetic pretraining")
+    p.add_argument("--model", choices=("superpoint", "lightglue"),
+                   default="superpoint")
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--size", type=int, default=128, help="square image size")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--desc-weight", type=float, default=1.0)
+    p.add_argument("--batches-per-round", type=int, default=12)
+    p.add_argument("--epochs-per-round", type=int, default=16)
+    p.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(__file__), "pretrained", "superpoint_synthetic.npz"
+        ),
+    )
+    a = p.parse_args(argv)
+    if a.model == "lightglue":
+        out = a.out
+        if out.endswith("superpoint_synthetic.npz"):  # the sp default
+            out = os.path.join(
+                os.path.dirname(out), "lightglue_synthetic.npz"
+            )
+        train_lightglue(
+            steps=a.steps, batch=min(a.batch, 16), hw=(a.size, a.size),
+            lr=a.lr if a.lr != 1e-3 else 2e-4, seed=a.seed, out=out,
+            batches_per_round=a.batches_per_round,
+            epochs_per_round=a.epochs_per_round,
+        )
+    else:
+        train(
+            steps=a.steps, batch=a.batch, hw=(a.size, a.size), lr=a.lr,
+            seed=a.seed, out=a.out, desc_weight=a.desc_weight,
+            batches_per_round=a.batches_per_round,
+            epochs_per_round=a.epochs_per_round,
+        )
+
+
+if __name__ == "__main__":
+    main()

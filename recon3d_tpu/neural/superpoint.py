@@ -52,8 +52,11 @@ class SuperPointNet(nn.Module):
         # Descriptor head (coarse, to be bilinearly sampled at keypoints).
         cDa = nn.relu(conv(256, 3, "convDa")(x))
         desc = conv(self.descriptor_dim, 1, "convDb")(cDa)
-        desc = desc / jnp.maximum(
-            jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12
+        # rsqrt(sum^2 + eps), NOT desc / max(||desc||, eps): a ReLU stack can
+        # emit exactly-zero cells, where the norm's gradient is 0/0 = NaN —
+        # one training step through that poisons the head parameters.
+        desc = desc * jax.lax.rsqrt(
+            jnp.sum(desc * desc, axis=-1, keepdims=True) + 1e-8
         )
         return logits, desc
 

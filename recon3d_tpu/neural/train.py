@@ -63,6 +63,230 @@ def _descriptor_loss(desc_a, desc_b):
     return -jnp.mean(jnp.take_along_axis(logp, labels[None, :, None], axis=-1))
 
 
+def _descriptor_loss_corr(desc_a, desc_b, corr_idx, corr_valid):
+    """InfoNCE with true homography correspondence.
+
+    desc_*: (B, Hc, Wc, D); corr_idx (B, N=Hc*Wc) flat index of the B-view
+    cell each A-view cell maps to under the pair homography; corr_valid
+    masks out-of-bounds cells. Positives are the corresponding cells; all
+    other cells of the same image pair are negatives.
+    """
+    B, Hc, Wc, D = desc_a.shape
+    a = desc_a.reshape(B, Hc * Wc, D)
+    b = desc_b.reshape(B, Hc * Wc, D)
+    # rsqrt(sum^2 + eps), NOT x / max(||x||, eps): a ReLU stack can emit an
+    # exactly-zero descriptor cell, where the norm's gradient is 0/0 = NaN
+    # and one step poisons the parameters.
+    a = a * jax.lax.rsqrt(jnp.sum(a * a, -1, keepdims=True) + 1e-8)
+    b = b * jax.lax.rsqrt(jnp.sum(b * b, -1, keepdims=True) + 1e-8)
+    sim = jnp.einsum("bnd,bmd->bnm", a, b) / 0.1
+    logp = jax.nn.log_softmax(sim, axis=-1)
+    pos = jnp.take_along_axis(logp, corr_idx[:, :, None], axis=-1)[..., 0]
+    w = corr_valid.astype(jnp.float32)
+    return -jnp.sum(pos * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def make_pair_train_step(model: SuperPointNet, tx, mesh: Mesh,
+                         desc_weight: float = 1.0):
+    """Jitted homography-pair train step (detector CE on both views +
+    correspondence InfoNCE), batch sharded over the 'data' axis.
+
+    Feed it recon3d_tpu.neural.synthetic.make_pair_batch batches. Used by
+    neural.pretrain to produce the bundled synthetic SuperPoint checkpoint.
+    """
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def loss_fn(params, batch):
+        logits_a, desc_a = model.apply(params, batch["img_a"])
+        logits_b, desc_b = model.apply(params, batch["img_b"])
+        det = _detector_loss(logits_a, batch["lab_a"]) + _detector_loss(
+            logits_b, batch["lab_b"]
+        )
+        dsc = _descriptor_loss_corr(
+            desc_a, desc_b, batch["corr_idx"], batch["corr_valid"]
+        )
+        return det + desc_weight * dsc, (det, dsc)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(None, batch_sh),
+        donate_argnums=(0,),
+    )
+    def train_step(state: TrainState, batch):
+        (loss, (det, dsc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            jnp.stack([loss, det, dsc]),
+        )
+
+    return train_step
+
+
+def make_epoch_train_fn(model: SuperPointNet, tx, mesh: Mesh,
+                        epochs: int = 4, desc_weight: float = 1.0):
+    """Jitted multi-epoch trainer: `epochs` passes over a pre-uploaded
+    stacked dataset of compact batches in ONE dispatch (lax.scan over
+    steps). Over a high-latency host<->device link this amortizes the
+    per-step upload + dispatch cost that a step-at-a-time loop pays
+    (recon3d_tpu.neural.pretrain uploads one dataset per round, then runs
+    D*epochs optimizer steps device-side).
+
+    `data` leaves are (D, B, ...) compact batches from
+    synthetic.make_pair_batch_compact stacked on axis 0 (uint8 images,
+    int8 cell labels) — decoded to float/one-hot on device.
+    """
+    data_sh = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P(None, DATA_AXIS)), {
+            "img_a": 0, "img_b": 0, "cells_a": 0, "cells_b": 0,
+            "corr_idx": 0, "corr_valid": 0,
+        },
+    )
+
+    def decode(cb):
+        return dict(
+            img_a=cb["img_a"].astype(jnp.float32) / 255.0,
+            img_b=cb["img_b"].astype(jnp.float32) / 255.0,
+            lab_a=jax.nn.one_hot(cb["cells_a"].astype(jnp.int32), 65),
+            lab_b=jax.nn.one_hot(cb["cells_b"].astype(jnp.int32), 65),
+            corr_idx=cb["corr_idx"],
+            corr_valid=cb["corr_valid"],
+        )
+
+    def loss_fn(params, batch):
+        logits_a, desc_a = model.apply(params, batch["img_a"])
+        logits_b, desc_b = model.apply(params, batch["img_b"])
+        det = _detector_loss(logits_a, batch["lab_a"]) + _detector_loss(
+            logits_b, batch["lab_b"]
+        )
+        dsc = _descriptor_loss_corr(
+            desc_a, desc_b, batch["corr_idx"], batch["corr_valid"]
+        )
+        return det + desc_weight * dsc, (det, dsc)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(None, data_sh),
+        donate_argnums=(0,),
+    )
+    def run(state: TrainState, data):
+        D = data["img_a"].shape[0]
+
+        def body(st, i):
+            cb = jax.tree_util.tree_map(lambda x: x[i % D], data)
+            (loss, (det, dsc)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(st.params, decode(cb))
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return (
+                TrainState(params=params, opt_state=opt_state,
+                           step=st.step + 1),
+                jnp.stack([loss, det, dsc]),
+            )
+
+        state, losses = jax.lax.scan(
+            body, state, jnp.arange(D * epochs, dtype=jnp.int32)
+        )
+        return state, losses
+
+    return run
+
+
+def _lightglue_loss(log_assign, m0, m1, gt_idx, valid0, valid1):
+    """LightGlue supervision (Lindenberger et al. 2023, eq. 9).
+
+    log_assign (N0, N1) soft-assignment log-probs; m0/m1 matchability
+    probabilities; gt_idx (N0,) index into set 1 (or -1 for no match).
+    Positives maximize the assignment log-likelihood; keypoints with no
+    ground-truth partner minimize matchability.
+    """
+    matched = (gt_idx >= 0) & valid0
+    pos = jnp.take_along_axis(
+        log_assign, jnp.clip(gt_idx, 0)[:, None], axis=1
+    )[:, 0]
+    n_pos = jnp.maximum(jnp.sum(matched), 1.0)
+    loss_pos = -jnp.sum(jnp.where(matched, pos, 0.0)) / n_pos
+
+    un0 = valid0 & (gt_idx < 0)
+    # which set-1 keypoints are matched by someone (scatter-add: a False
+    # .set() at the clipped index 0 would clobber a real hit there)
+    hit1 = (
+        jnp.zeros(m1.shape[0], jnp.int32)
+        .at[jnp.clip(gt_idx, 0)]
+        .add(matched.astype(jnp.int32))
+        > 0
+    )
+    un1 = valid1 & ~hit1
+    eps = 1e-6
+    loss_un = (
+        -jnp.sum(jnp.where(un0, jnp.log(1.0 - m0 + eps), 0.0))
+        / jnp.maximum(jnp.sum(un0), 1.0)
+        - jnp.sum(jnp.where(un1, jnp.log(1.0 - m1 + eps), 0.0))
+        / jnp.maximum(jnp.sum(un1), 1.0)
+    ) * 0.5
+    return loss_pos + loss_un, loss_pos, loss_un
+
+
+def make_lightglue_train_fn(lg_model, tx, mesh: Mesh, epochs: int = 4):
+    """Jitted multi-epoch LightGlue trainer over pre-extracted SuperPoint
+    feature pairs (one dispatch per round, like make_epoch_train_fn).
+
+    data leaves (D, B, ...): desc0/desc1 (D, B, K, dim), xy0n/xy1n
+    (D, B, K, 2) normalized coords, valid0/valid1 (D, B, K) bool,
+    gt_idx (D, B, K) int32 (-1 = unmatched). Features come from the frozen
+    (bundled) SuperPoint — only LightGlue parameters train.
+    """
+    data_sh = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P(None, DATA_AXIS)), {
+            "desc0": 0, "desc1": 0, "xy0n": 0, "xy1n": 0,
+            "valid0": 0, "valid1": 0, "gt_idx": 0,
+        },
+    )
+
+    def pair_loss(params, cb):
+        def one(desc0, desc1, xy0n, xy1n, valid0, valid1, gt):
+            log_assign, m0, m1 = lg_model.apply(
+                params, desc0, desc1, xy0n, xy1n, valid0, valid1
+            )
+            return _lightglue_loss(log_assign, m0, m1, gt, valid0, valid1)
+
+        l, lp, lu = jax.vmap(one)(
+            cb["desc0"], cb["desc1"], cb["xy0n"], cb["xy1n"],
+            cb["valid0"], cb["valid1"], cb["gt_idx"],
+        )
+        return jnp.mean(l), (jnp.mean(lp), jnp.mean(lu))
+
+    @functools.partial(
+        jax.jit, in_shardings=(None, data_sh), donate_argnums=(0,)
+    )
+    def run(state: TrainState, data):
+        D = data["desc0"].shape[0]
+
+        def body(st, i):
+            cb = jax.tree_util.tree_map(lambda x: x[i % D], data)
+            (loss, (lp, lu)), grads = jax.value_and_grad(
+                pair_loss, has_aux=True
+            )(st.params, cb)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return (
+                TrainState(params=params, opt_state=opt_state,
+                           step=st.step + 1),
+                jnp.stack([loss, lp, lu]),
+            )
+
+        state, losses = jax.lax.scan(
+            body, state, jnp.arange(D * epochs, dtype=jnp.int32)
+        )
+        return state, losses
+
+    return run
+
+
 def make_sharded_train_step(model: SuperPointNet, tx, mesh: Mesh):
     """Build a jitted train step with explicit input/param shardings.
 

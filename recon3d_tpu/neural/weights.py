@@ -13,6 +13,46 @@ from typing import Any, Dict
 import numpy as np
 
 
+def save_params_npz(params: Any, path: str) -> None:
+    """Flatten a Flax param tree into a '/'-keyed .npz checkpoint (float16
+    storage halves the bundled-checkpoint size; SuperPoint inference is
+    insensitive to the cast)."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for path_keys, leaf in flat:
+        key = "/".join(str(getattr(p, "key", p)) for p in path_keys)
+        arr = np.asarray(leaf)
+        out[key] = arr.astype(np.float16) if arr.dtype == np.float32 else arr
+    np.savez_compressed(path, **out)
+
+
+def load_params_npz(path: str, template: Any) -> Any:
+    """Load a save_params_npz checkpoint back into the template's tree
+    structure (keys must match; dtypes restored from the template)."""
+    import jax
+
+    with np.load(path) as z:
+        stored = {k: z[k] for k in z.files}
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path_keys, leaf in flat:
+        key = "/".join(str(getattr(p, "key", p)) for p in path_keys)
+        if key not in stored:
+            raise KeyError(f"checkpoint {path} missing parameter {key}")
+        arr = stored[key].astype(np.asarray(leaf).dtype)
+        if arr.shape != np.asarray(leaf).shape:
+            raise ValueError(
+                f"checkpoint {path} shape mismatch at {key}: "
+                f"{arr.shape} vs {np.asarray(leaf).shape}"
+            )
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), leaves
+    )
+
+
 def _load_torch_state(path: str) -> Dict[str, np.ndarray]:
     import torch
 
