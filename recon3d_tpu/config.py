@@ -62,6 +62,11 @@ class NeuralConfig:
     # SuperPoint — so the neural path functions without any downloads.
     matcher: str = "auto"
     nn_ratio: float = 0.95
+    # Assignment-score gate for LightGlue match extraction. The official
+    # torch default is 0.1; the bundled synthetic-trained checkpoint is
+    # calibrated sharper, so 0.01 recovers NN-level match counts at higher
+    # precision.
+    lightglue_match_threshold: float = 0.01
 
 
 @dataclass(frozen=True)

@@ -181,7 +181,10 @@ class NeuralMatcher:
                 log_assign, m0, m1 = lg.apply(
                     params, f1.desc, f2.desc, xy0n, xy1n, f1.valid, f2.valid
                 )
-                mres = extract_matches(log_assign, f1.valid, f2.valid)
+                mres = extract_matches(
+                    log_assign, f1.valid, f2.valid,
+                    threshold=self.config.lightglue_match_threshold,
+                )
                 return mres
 
             self._match_jit[sig] = jax.jit(fn)
@@ -224,6 +227,7 @@ class NeuralMatcher:
             mc = self.match_config
             kind = self.matcher_kind
             nn_ratio = self.config.nn_ratio
+            lg_thr = self.config.lightglue_match_threshold
 
             @jax.jit
             def fn(params, desc, xy, valid, pi, pj, keys, hw):
@@ -242,7 +246,10 @@ class NeuralMatcher:
                             params, desc[i], desc[j], xy0n, xy1n,
                             valid[i], valid[j],
                         )
-                        m = extract_matches(log_assign, valid[i], valid[j])
+                        m = extract_matches(
+                            log_assign, valid[i], valid[j],
+                            threshold=lg_thr,
+                        )
                     x1 = jnp.where(m.mask[:, None], xy[i], 0.0)
                     x2 = jnp.where(
                         m.mask[:, None], xy[j][jnp.clip(m.idx2, 0, None)], 0.0

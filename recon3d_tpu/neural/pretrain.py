@@ -116,6 +116,7 @@ def train_lightglue(
     batches_per_round: int = 8,
     epochs_per_round: int = 8,
     gt_radius_px: float = 3.0,
+    detection_threshold: float = 2e-5,
 ):
     """Train LightGlue on synthetic homography pairs with features from the
     frozen bundled SuperPoint.
@@ -143,7 +144,11 @@ def train_lightglue(
 
     mesh = make_mesh(MeshConfig(model_parallel=1))
     # Frozen SuperPoint: the bundled checkpoint via NeuralMatcher's loader.
-    nm = NeuralMatcher(NeuralConfig(max_keypoints=max_keypoints))
+    # Training uses a LOWER detection threshold than inference: denser
+    # keypoint sets give the assignment loss 3-5x more positives per pair.
+    nm = NeuralMatcher(NeuralConfig(
+        max_keypoints=max_keypoints, detection_threshold=detection_threshold,
+    ))
     nm._ensure_params(hw)
     sp, sp_params = nm.sp, nm._sp_params
     cfg = nm.config

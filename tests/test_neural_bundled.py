@@ -1,9 +1,12 @@
-"""Quality gates for the bundled synthetic-pretrained SuperPoint checkpoint.
+"""Quality gates for the bundled synthetic-pretrained neural checkpoints.
 
-These tests run only when recon3d_tpu/neural/pretrained/superpoint_synthetic
-.npz exists (produced by `python -m recon3d_tpu.neural.pretrain`, committed
-to the repo so the neural path works with zero downloads — the reference
-requires fetching published torch checkpoints, neural_matcher.py:47-66).
+These tests run only when recon3d_tpu/neural/pretrained/*.npz exist
+(produced by `python -m recon3d_tpu.neural.pretrain [--model lightglue]`,
+committed to the repo so the neural path works with zero downloads — the
+reference requires fetching published torch checkpoints,
+neural_matcher.py:47-66). Both matcher backends are gated: "nn" (mutual-NN
+on SuperPoint descriptors, higher recall) and "lightglue" (attention
+matcher, higher precision).
 """
 
 import os
@@ -20,31 +23,39 @@ from recon3d_tpu.neural.synthetic import (
     warp_points,
 )
 
-BUNDLED = os.path.join(
-    os.path.dirname(neural_pkg.__file__), "pretrained",
-    "superpoint_synthetic.npz",
-)
+PRETRAINED = os.path.join(os.path.dirname(neural_pkg.__file__), "pretrained")
+BUNDLED_SP = os.path.join(PRETRAINED, "superpoint_synthetic.npz")
+BUNDLED_LG = os.path.join(PRETRAINED, "lightglue_synthetic.npz")
 
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(BUNDLED), reason="bundled checkpoint not built yet"
+    not os.path.exists(BUNDLED_SP), reason="bundled checkpoint not built yet"
 )
 
+MATCHERS = ["nn"] + (["lightglue"] if os.path.exists(BUNDLED_LG) else [])
+# recall floor per matcher: NN is the high-recall path; the synthetic
+# LightGlue is precision-calibrated and keeps fewer matches
+MIN_MATCHES = {"nn": 10, "lightglue": 5}
 
-@pytest.fixture(scope="module")
-def matcher():
+
+def make_matcher(kind):
     from recon3d_tpu.neural.matcher import NeuralMatcher
 
-    return NeuralMatcher(NeuralConfig(max_keypoints=512))
+    return NeuralMatcher(NeuralConfig(max_keypoints=512, matcher=kind))
 
 
-def test_auto_matcher_is_nn_without_lightglue(matcher):
-    assert matcher.matcher_kind == "nn"
+def test_auto_matcher_selection():
+    from recon3d_tpu.neural.matcher import NeuralMatcher
+
+    m = NeuralMatcher(NeuralConfig())
+    expected = "lightglue" if os.path.exists(BUNDLED_LG) else "nn"
+    assert m.matcher_kind == expected
 
 
-def test_detector_finds_synthetic_corners(matcher):
+def test_detector_finds_synthetic_corners():
     """Detected keypoints should lie near ground-truth corners (the corpus
     is the training distribution, so this is a sanity floor, not a
     generalization claim)."""
+    matcher = make_matcher("nn")
     hits, total = 0, 0
     for seed in (11, 12, 13):
         img, corners = render_shapes(np.random.default_rng(seed), (128, 128))
@@ -62,8 +73,10 @@ def test_detector_finds_synthetic_corners(matcher):
     assert hits / total > 0.5, f"{hits}/{total} corners detected within 4px"
 
 
-def test_nn_matching_respects_homography(matcher):
-    """Mutual-NN matches on a warped pair follow the true homography."""
+@pytest.mark.parametrize("kind", MATCHERS)
+def test_matching_respects_homography(kind):
+    """Matches on a warped pair follow the true homography."""
+    matcher = make_matcher(kind)
     img, _ = render_shapes(np.random.default_rng(21), (128, 128))
     H = random_homography(
         np.random.default_rng(22), (128, 128),
@@ -72,10 +85,9 @@ def test_nn_matching_respects_homography(matcher):
     imgb = warp_image(img, H)
     fa = matcher.extract(img.astype(np.float32))
     fb = matcher.extract(imgb.astype(np.float32))
-    res = matcher.match(fa, fb)
+    res = matcher.match(fa, fb, hw=(128, 128))
     mask = np.asarray(res.mask)
-    # the scene has ~20 true corners; most should survive mutual-NN
-    assert mask.sum() >= 10, int(mask.sum())
+    assert mask.sum() >= MIN_MATCHES[kind], int(mask.sum())
     xya = np.asarray(fa.xy)[mask]
     xyb = np.asarray(fb.xy)[np.asarray(res.idx2)[mask]]
     err = np.hypot(*(warp_points(H, xya) - xyb).T)
@@ -84,11 +96,12 @@ def test_nn_matching_respects_homography(matcher):
     assert (err < 4.0).mean() > 0.6, (err < 4.0).mean()
 
 
-def test_neural_sfm_end_to_end():
+@pytest.mark.parametrize("kind", MATCHERS)
+def test_neural_sfm_end_to_end(kind):
     """Full neural SfM on an out-of-distribution ray-traced scene: the
-    bundled synthetic-shapes checkpoint + mutual-NN matching must register
-    every camera (reference flagship path run_reconstruction.py --neural,
-    which cannot run at all without downloaded torch checkpoints)."""
+    bundled synthetic-shapes checkpoints must register every camera
+    (reference flagship path run_reconstruction.py --neural, which cannot
+    run at all without downloaded torch checkpoints)."""
     import dataclasses
 
     from tests.render import render_views
@@ -103,7 +116,8 @@ def test_neural_sfm_end_to_end():
     cfg = ReconstructionConfig()
     cfg = cfg.replace(
         neural=dataclasses.replace(
-            cfg.neural, max_keypoints=512, detection_threshold=2e-4
+            cfg.neural, max_keypoints=512, detection_threshold=2e-4,
+            matcher=kind,
         ),
         match=dataclasses.replace(
             cfg.match, min_matches=12, ransac_hypotheses=512
@@ -115,16 +129,17 @@ def test_neural_sfm_end_to_end():
     pipe = SfMPipeline(neural_mode=True, config=cfg)
     pts, cols, poses = pipe.reconstruct(image_set=iset)
     assert len(poses) == 5, len(poses)
-    assert len(pts) > 80, len(pts)
+    assert len(pts) > 50, len(pts)
     assert pipe._mean_reproj_error() < 3.0
 
 
-def test_match_pair_geometric_yields_inliers(matcher):
+def test_match_pair_geometric_yields_inliers():
     """The SfM-facing contract: enough F-RANSAC inliers on a warped pair
     (a homography is degenerate for F, but inliers must still be found on
     the epipolar-consistent correspondences)."""
     import jax
 
+    matcher = make_matcher(MATCHERS[-1])
     img, _ = render_shapes(np.random.default_rng(31), (128, 128))
     H = random_homography(
         np.random.default_rng(32), (128, 128),
@@ -134,6 +149,6 @@ def test_match_pair_geometric_yields_inliers(matcher):
     fa = matcher.extract(img.astype(np.float32))
     fb = matcher.extract(imgb.astype(np.float32))
     m, F, n_inl = matcher.match_pair_geometric(
-        fa, fb, jax.random.PRNGKey(0), min_matches=10
+        fa, fb, jax.random.PRNGKey(0), min_matches=5
     )
-    assert n_inl >= 10, n_inl
+    assert n_inl >= 5, n_inl
