@@ -5,6 +5,7 @@ point-cloud filters and the multi-chip distributed drivers."""
 from recon3d_tpu.dense.patchmatch import PatchMatchMVS, patchmatch_depth
 from recon3d_tpu.dense.plane_sweep import (
     PlaneSweepReconstructor,
+    create_combined_dense_cloud,
     sweep_depth_map,
 )
 from recon3d_tpu.dense.sift_dense import DenseSiftReconstructor
@@ -18,6 +19,7 @@ __all__ = [
     "PatchMatchMVS",
     "patchmatch_depth",
     "PlaneSweepReconstructor",
+    "create_combined_dense_cloud",
     "sweep_depth_map",
     "DenseSiftReconstructor",
     "knn_statistical_filter",

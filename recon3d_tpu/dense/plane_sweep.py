@@ -355,3 +355,16 @@ class PlaneSweepReconstructor:
         print(f"[plane-sweep] {len(points)} points from {len(ref_ids)} ref views "
               f"({time.time() - t0:.1f}s)")
         return points, colors
+
+
+def create_combined_dense_cloud(
+    camera: Camera,
+    images: np.ndarray,
+    poses: Dict[int, Tuple[np.ndarray, np.ndarray]],
+    use_stereo: bool = True,
+):
+    """API-parity wrapper (reference dense_stereo.py:495-505): run the
+    plane-sweep backend, or return empty arrays when disabled."""
+    if use_stereo:
+        return PlaneSweepReconstructor(camera).reconstruct(images, poses)
+    return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)

@@ -138,3 +138,22 @@ def detect_keypoints(
     desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
 
     return NeuralFeatures(xy=xy, score=vals, desc=desc, valid=valid)
+
+
+def neural_to_sift_features(feats: NeuralFeatures):
+    """Adapter to the classical feature container (reference
+    convert_neural_to_cv_keypoints, neural_matcher.py:207-221): wraps
+    neural keypoints in a SiftFeatures so code written against the
+    classical frontend consumes them unchanged. Scale/angle carry the same
+    defaults the reference puts in its cv.KeyPoint (size 10, angle -1)."""
+    from recon3d_tpu.ops.sift import SiftFeatures
+
+    k = feats.xy.shape[0]
+    return SiftFeatures(
+        xy=feats.xy,
+        scale=jnp.full((k,), 10.0, jnp.float32),
+        angle=jnp.full((k,), -1.0, jnp.float32),
+        response=feats.score,
+        desc=feats.desc,
+        valid=feats.valid,
+    )
