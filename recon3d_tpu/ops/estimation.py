@@ -16,7 +16,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from recon3d_tpu.ops.epipolar import fundamental_8point, sampson_distance
+from recon3d_tpu.ops.epipolar import (
+    fundamental_8point,
+    sampson_distance,
+    sampson_distance_batch,
+)
 from recon3d_tpu.ops.ransac import ransac_with_refit, RansacResult
 from recon3d_tpu.ops.pnp import pnp_ransac, PnPResult
 
@@ -46,11 +50,19 @@ def estimate_fundamental_ransac(
     def solver(mask):
         return fundamental_8point(x1, x2, mask)
 
+    def sample_solver(idx):
+        # gathered 8-point sample: (8, 2) systems instead of masked (N, 9)
+        return fundamental_8point(x1[idx], x2[idx], jnp.ones(idx.shape[0]))
+
     def residual_fn(F):
         return sampson_distance(F, x1, x2)
 
+    def batch_residual_fn(Fs):
+        return sampson_distance_batch(Fs, x1, x2)
+
     res: RansacResult = ransac_with_refit(
-        key, solver, residual_fn, valid, 8, num_hypotheses, threshold_px
+        key, solver, residual_fn, valid, 8, num_hypotheses, threshold_px,
+        batch_residual_fn=batch_residual_fn, sample_solver=sample_solver,
     )
     return FundamentalResult(F=res.model, inliers=res.inliers, num_inliers=res.num_inliers)
 
@@ -81,15 +93,17 @@ def estimate_pose_pnp_wave(
     ~B*T fewer dispatches.
     """
 
+    from recon3d_tpu.ops.pnp import pnp_ransac_multi
+
     def per_image(key, Xi, xi, vi):
-        return jax.vmap(
-            lambda thr: pnp_ransac(
-                key, K, Xi, xi, vi,
-                num_hypotheses=num_hypotheses,
-                threshold_px=thr,
-                refine_iterations=refine_iterations,
-            )
-        )(thresholds_px)
+        # One hypothesis batch per image, scored against the whole
+        # threshold cascade (pnp_ransac_multi) — the previous per-threshold
+        # vmap re-sampled and re-solved identical hypotheses T times.
+        return pnp_ransac_multi(
+            key, K, Xi, xi, vi, thresholds_px,
+            num_hypotheses=num_hypotheses,
+            refine_iterations=refine_iterations,
+        )
 
     return jax.vmap(per_image)(keys, X, x_px, valid)
 

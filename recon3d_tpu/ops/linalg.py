@@ -24,25 +24,179 @@ def matmul_hp(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
-def smallest_eigvec(A: jnp.ndarray) -> jnp.ndarray:
-    """Eigenvector of the smallest eigenvalue of a symmetric (..., n, n) matrix.
+def _cholesky_unrolled(A: jnp.ndarray) -> list:
+    """Batched Cholesky of small (..., n, n) SPD matrices, fully unrolled.
 
-    jnp.linalg.eigh returns eigenvalues in ascending order, so this is the
-    first column. Used for null-space extraction in DLT/8-point solvers
-    (A^T A formulation instead of SVD of the tall matrix).
+    XLA's `cholesky`/`eigh` for tiny batched matrices dispatch iterative
+    algorithms on TPU (tens of ms per 1024 x 9x9); unrolling the n^3/6
+    scalar recurrences at trace time yields one fused elementwise program.
+    Returns the lower factor as a python list-of-lists of (...) arrays.
     """
-    _, vecs = jnp.linalg.eigh(A)
-    return vecs[..., :, 0]
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def _chol_solve_unrolled(L: list, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L L^T x = b with the unrolled factor; b: (..., n)."""
+    n = len(L)
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
+def _smallest_eigvec_fast(A: jnp.ndarray, iters: int = 3) -> jnp.ndarray:
+    """Smallest eigenvector of symmetric PSD (..., n, n) via shifted inverse
+    iteration on an unrolled Cholesky factorization.
+
+    XLA's batched `eigh` runs an iterative QR-style algorithm — ~47 ms for
+    (1024, 9, 9) on v5e, the single hottest op of every RANSAC dispatch.
+    Inverse iteration converges at ratio (lambda_min/lambda_2) per step —
+    for null-space extraction (lambda_min ~ 0) one step is already sharp;
+    `iters`=3 covers noisy refit systems too. Cost: one unrolled Cholesky
+    + iters unrolled triangular solves, all fused elementwise work.
+    """
+    n = A.shape[-1]
+    tr = jnp.trace(A, axis1=-2, axis2=-1)
+    shift = (1e-7 * tr + 1e-20)[..., None, None] * jnp.eye(n, dtype=A.dtype)
+    L = _cholesky_unrolled(A + shift)
+    z = jnp.broadcast_to(
+        jnp.arange(1, n + 1, dtype=A.dtype) / n, A.shape[:-1]
+    )
+    for _ in range(iters):
+        z = _chol_solve_unrolled(L, z)
+        z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-30)
+    return z
+
+
+def smallest_eigvec(A: jnp.ndarray) -> jnp.ndarray:
+    """Eigenvector of the smallest eigenvalue of a symmetric PSD (..., n, n)
+    matrix — null-space extraction for the DLT/8-point solvers (A^T A
+    formulation instead of SVD of the tall matrix).
+
+    CPU: exact `eigh` (ascending order -> first column); tests stay
+    deterministic. TPU: power iteration (see _smallest_eigvec_power).
+    """
+    if jax.default_backend() == "cpu":
+        _, vecs = jnp.linalg.eigh(A)
+        return vecs[..., :, 0]
+    return _smallest_eigvec_fast(A)
+
+
+def eigh3x3(A: jnp.ndarray):
+    """Analytic symmetric 3x3 eigendecomposition (Cardano / Smith's method).
+
+    Returns (w (..., 3) ascending, V (..., 3, 3) columns = eigenvectors).
+    Closed-form arithmetic only — batched `jnp.linalg.eigh`/`svd` of tiny
+    matrices run iterative algorithms on TPU (~50 ms per 1024 on v5e);
+    this is pure VPU elementwise work.
+    """
+    q = jnp.trace(A, axis1=-2, axis2=-1) / 3.0
+    Bm = A - q[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    p2 = jnp.sum(Bm * Bm, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    detB = jnp.linalg.det(Bm)
+    r = jnp.clip(detB / (2.0 * p**3), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)                      # largest
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+    e2 = 3.0 * q - e1 - e3
+    w = jnp.stack([e3, e2, e1], axis=-1)  # ascending
+
+    def eigvec(lam):
+        # v spans null(A - lam I): cross products of row pairs; pick the
+        # most independent pair (largest cross norm).
+        M = A - lam[..., None, None] * jnp.eye(3, dtype=A.dtype)
+        c01 = jnp.cross(M[..., 0, :], M[..., 1, :])
+        c12 = jnp.cross(M[..., 1, :], M[..., 2, :])
+        c20 = jnp.cross(M[..., 2, :], M[..., 0, :])
+        cands = jnp.stack([c01, c12, c20], axis=-2)  # (..., 3, 3)
+        norms = jnp.linalg.norm(cands, axis=-1)
+        best = jnp.argmax(norms, axis=-1)
+        v = jnp.take_along_axis(
+            cands, best[..., None, None].repeat(3, -1), axis=-2
+        )[..., 0, :]
+        # near-degenerate (isotropic) fallback
+        ok = jnp.max(norms, axis=-1) > 1e-20
+        v = jnp.where(ok[..., None], v, jnp.zeros_like(v).at[..., 0].set(1.0))
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+    v3 = eigvec(e3)
+    v1 = eigvec(e1)
+    # enforce orthogonality: v2 = v3 x v1 (exact for distinct eigenvalues,
+    # a valid completion in the degenerate case)
+    v1 = v1 - jnp.sum(v1 * v3, -1, keepdims=True) * v3
+    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-20)
+    v2 = jnp.cross(v3, v1)
+    V = jnp.stack([v3, v2, v1], axis=-1)  # columns, ascending eigenvalues
+    return w, V
 
 
 def nearest_rotation(M: jnp.ndarray) -> jnp.ndarray:
-    """Project (..., 3, 3) onto SO(3) (det +1) via SVD: R = U diag(1,1,det) V^T."""
-    U, _, Vt = jnp.linalg.svd(M)
-    det = jnp.linalg.det(U @ Vt)
-    D = jnp.stack(
-        [jnp.ones_like(det), jnp.ones_like(det), det], axis=-1
+    """Project (..., 3, 3) onto SO(3) (det +1).
+
+    CPU: SVD (exact). TPU: polar decomposition via the analytic 3x3
+    eigensolve — R = M (M^T M)^(-1/2), with the det<0 case corrected by
+    flipping along the smallest singular direction (equivalent to the SVD
+    form U diag(1,1,det) V^T).
+    """
+    if jax.default_backend() == "cpu":
+        U, _, Vt = jnp.linalg.svd(M)
+        det = jnp.linalg.det(U @ Vt)
+        D = jnp.stack(
+            [jnp.ones_like(det), jnp.ones_like(det), det], axis=-1
+        )
+        return (U * D[..., None, :]) @ Vt
+    return _nearest_rotation_polar(M)
+
+
+def _nearest_rotation_polar(M: jnp.ndarray) -> jnp.ndarray:
+    """SVD-free nearest rotation (see nearest_rotation).
+
+    Builds the SVD's U basis by Gram-Schmidt on M's two strongest
+    right-singular directions and completes both bases right-handed —
+    algebraically U diag(1,1,±1) V^T, well-conditioned whenever
+    rank(M) >= 2 (always true for the pose/DLT matrices this serves;
+    a deliberate sign flip on the weakest axis is exactly the det+1
+    projection the SVD form uses).
+    """
+
+    def _unit(v):
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+    S = matmul_hp(jnp.swapaxes(M, -1, -2), M)
+    _, V = eigh3x3(S)
+    v1 = V[..., :, 2]  # strongest right-singular direction
+    v2 = V[..., :, 1]
+    u1 = _unit(einsum_hp("...ij,...j->...i", M, v1))
+    mu2 = einsum_hp("...ij,...j->...i", M, v2)
+    u2 = _unit(mu2 - jnp.sum(u1 * mu2, -1, keepdims=True) * u1)
+    u3 = jnp.cross(u1, u2)
+    v3 = jnp.cross(v1, v2)  # right-handed completion of the V basis
+    return (
+        u1[..., :, None] * v1[..., None, :]
+        + u2[..., :, None] * v2[..., None, :]
+        + u3[..., :, None] * v3[..., None, :]
     )
-    return (U * D[..., None, :]) @ Vt
 
 
 def solve_psd(A: jnp.ndarray, b: jnp.ndarray, damping: float = 0.0) -> jnp.ndarray:

@@ -69,6 +69,27 @@ def project_points(
     return jnp.stack([u, v], axis=1)
 
 
+def project_residuals_batch(
+    K: jnp.ndarray, models: jnp.ndarray, X: jnp.ndarray, x_px: jnp.ndarray
+) -> jnp.ndarray:
+    """Reprojection residuals of H pose hypotheses against N shared points.
+
+    models: (H, 12) flattened [R | t]; X: (N, 3); x_px: (N, 2). Returns
+    (H, N) pixel errors (1e9 behind the camera). MXU-shaped: one
+    (N, 3) @ (3, 3H) matmul replaces H tiny per-hypothesis einsums.
+    """
+    H = models.shape[0]
+    R_rows = models[:, :9].reshape(H * 3, 3)
+    t = models[:, 9:].reshape(H, 3)
+    Xc = matmul_hp(X, R_rows.T).reshape(-1, H, 3) + t[None]  # (N, H, 3)
+    z = Xc[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-8, jnp.where(z < 0, -1e-8, 1e-8), z)
+    u = K[0, 0] * Xc[..., 0] / zs + K[0, 1] * Xc[..., 1] / zs + K[0, 2]
+    v = K[1, 1] * Xc[..., 1] / zs + K[1, 2]
+    err = jnp.hypot(u - x_px[:, 0:1], v - x_px[:, 1:2])
+    return jnp.where(z > 1e-6, err, 1e9).T  # (H, N)
+
+
 def refine_pose_gn(
     K: jnp.ndarray,
     R0: jnp.ndarray,
@@ -100,7 +121,12 @@ def refine_pose_gn(
         r = residuals(zero, R, t)
         JtJ = einsum_hp("ni,nj->ij", J, J) + damping * jnp.eye(6, dtype=X.dtype)
         Jtr = einsum_hp("ni,n->i", J, r)
-        xi = -jnp.linalg.solve(JtJ, Jtr)
+        # unrolled Cholesky: jnp.linalg.solve dispatches an iterative LU on
+        # TPU even for a 6x6 (ops/linalg.py rationale)
+        from recon3d_tpu.ops.linalg import (
+            _cholesky_unrolled, _chol_solve_unrolled,
+        )
+        xi = -_chol_solve_unrolled(_cholesky_unrolled(JtJ), Jtr)
         dR, dt = se3_exp(xi)
         Rn = matmul_hp(dR, R)
         tn = einsum_hp("ij,j->i", dR, t) + dt
@@ -140,6 +166,36 @@ def pnp_ransac(
     cascade (sfm_pipeline.py:567-584) — one fused hypothesis batch instead
     of 3 x 5000 sequential C++ iterations.
     """
+    res = pnp_ransac_multi(
+        key, K, X, x_px, valid, jnp.asarray([threshold_px]),
+        num_hypotheses=num_hypotheses, refine_iterations=refine_iterations,
+    )
+    return PnPResult(
+        R=res.R[0], t=res.t[0], inliers=res.inliers[0],
+        num_inliers=res.num_inliers[0],
+    )
+
+
+def pnp_ransac_multi(
+    key: jax.Array,
+    K: jnp.ndarray,
+    X: jnp.ndarray,
+    x_px: jnp.ndarray,
+    valid: jnp.ndarray,
+    thresholds_px: jnp.ndarray,
+    num_hypotheses: int = 2048,
+    refine_iterations: int = 8,
+) -> PnPResult:
+    """RANSAC PnP scored against a whole threshold cascade at once.
+
+    The hypothesis batch (sampling + 6-point DLT solves + residuals) is
+    shared across the T thresholds — only the vote and the GN polish are
+    per-threshold. Result fields carry a leading (T,) axis. Replaces a
+    vmap of independent single-threshold RANSACs that re-solved the same
+    hypotheses T times.
+    """
+    from recon3d_tpu.ops.ransac import sample_indices
+
     Kinv = jnp.linalg.inv(K)
     x_norm = einsum_hp(
         "ij,nj->ni",
@@ -147,28 +203,37 @@ def pnp_ransac(
         jnp.concatenate([x_px, jnp.ones_like(x_px[:, :1])], axis=1),
     )[:, :2]
 
-    def solver(mask):
-        R, t = pnp_dlt(X, x_norm, mask)
+    def sample_solver(idx):
+        R, t = pnp_dlt(X[idx], x_norm[idx], jnp.ones(idx.shape[0], X.dtype))
         return jnp.concatenate([R.reshape(9), t], axis=0)  # (12,)
 
-    def residual_fn(model):
+    idx = sample_indices(key, valid, num_hypotheses, 6)
+    models = jax.vmap(sample_solver)(idx)              # (H, 12)
+    residuals = project_residuals_batch(K, models, X, x_px)  # (H, N)
+
+    valid_b = valid > 0
+
+    def per_threshold(thr):
+        inl = (residuals < thr) & valid_b[None, :]
+        r2 = jnp.minimum(jnp.square(residuals), thr * thr)
+        score = jnp.sum(jnp.where(valid_b[None, :], r2, 0.0), axis=-1)
+        counts = jnp.sum(inl, axis=-1)
+        norm_score = score / (jnp.max(score) + 1e-12)
+        best = jnp.argmax(counts.astype(jnp.float32) - 0.5 * norm_score)
+        model = models[best]
         R = model[:9].reshape(3, 3)
         t = model[9:]
-        pred = project_points(K, R, t, X)
-        err = jnp.linalg.norm(pred - x_px, axis=1)
-        # Penalize points behind the camera.
-        z = einsum_hp("ij,nj->ni", R, X)[:, 2] + t[2]
-        return jnp.where(z > 1e-6, err, 1e9)
+        # Polish on the inlier set, then re-evaluate inliers.
+        w = inl[best].astype(X.dtype)
+        R, t = refine_pose_gn(
+            K, R, t, X, x_px, w, iterations=refine_iterations
+        )
+        err = project_residuals_batch(
+            K, jnp.concatenate([R.reshape(9), t])[None], X, x_px
+        )[0]
+        inliers = (err < thr) & valid_b
+        return PnPResult(
+            R=R, t=t, inliers=inliers, num_inliers=jnp.sum(inliers)
+        )
 
-    res: RansacResult = ransac(
-        key, solver, residual_fn, valid, 6, num_hypotheses, threshold_px
-    )
-    R = res.model[:9].reshape(3, 3)
-    t = res.model[9:]
-
-    # Polish on the inlier set, then re-evaluate inliers.
-    w = res.inliers.astype(X.dtype)
-    R, t = refine_pose_gn(K, R, t, X, x_px, w, iterations=refine_iterations)
-    err = residual_fn(jnp.concatenate([R.reshape(9), t]))
-    inliers = (err < threshold_px) & (valid > 0)
-    return PnPResult(R=R, t=t, inliers=inliers, num_inliers=jnp.sum(inliers))
+    return jax.vmap(per_threshold)(thresholds_px)

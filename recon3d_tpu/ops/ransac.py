@@ -26,23 +26,45 @@ class RansacResult(NamedTuple):
     best_score: jnp.ndarray  # scalar float (MSAC score of the winner)
 
 
-def sample_masks(
+def sample_indices(
     key: jax.Array,
     valid: jnp.ndarray,
     num_hypotheses: int,
     sample_size: int,
 ) -> jnp.ndarray:
     """Draw `num_hypotheses` minimal samples (without replacement) from the
-    valid entries of a padded array.
+    valid entries of a padded array; returns indices (H, k).
 
-    Returns a float (H, N) mask with exactly `sample_size` ones per row
-    (fewer only if fewer valid points exist). Implemented as Gumbel top-k
-    over the validity logits — one fused (H, N) computation, no host loop.
+    Implemented as Gumbel top-k over the validity logits — one fused
+    (H, N) computation, no host loop. Rows with fewer than k valid points
+    repeat valid indices (the solver then sees a degenerate sample that
+    loses the inlier vote — same net behavior as a masked short sample).
     """
     n = valid.shape[-1]
     logits = jnp.where(valid > 0, 0.0, -jnp.inf)
     g = jax.random.gumbel(key, (num_hypotheses, n)) + logits
-    _, idx = jax.lax.top_k(g, sample_size)  # (H, k)
+    if jax.default_backend() == "cpu":
+        _, idx = jax.lax.top_k(g, sample_size)  # (H, k)
+    else:
+        # top_k sorts each row on TPU (~30 ms at 1024x8192 — it was the
+        # hottest op left in the whole RANSAC dispatch). approx_max_k of
+        # iid Gumbel noise remains a random without-replacement sample
+        # (distinct indices, permutation-symmetric over the valid set);
+        # the bucketed selection's slight deviation from exact Gumbel
+        # top-k is irrelevant for hypothesis sampling.
+        _, idx = jax.lax.approx_max_k(g, sample_size)
+    return idx
+
+
+def sample_masks(
+    key: jax.Array,
+    valid: jnp.ndarray,
+    num_hypotheses: int,
+    sample_size: int,
+) -> jnp.ndarray:
+    """Mask form of sample_indices: float (H, N) with ones at the sample."""
+    n = valid.shape[-1]
+    idx = sample_indices(key, valid, num_hypotheses, sample_size)
     masks = jnp.zeros((num_hypotheses, n), dtype=jnp.float32)
     rows = jnp.repeat(jnp.arange(num_hypotheses), sample_size)
     masks = masks.at[rows, idx.reshape(-1)].set(1.0)
@@ -58,18 +80,34 @@ def ransac(
     sample_size: int,
     num_hypotheses: int,
     threshold: float,
+    batch_residual_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    sample_solver: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
 ) -> RansacResult:
     """Generic batched RANSAC.
 
     solver(sample_mask (N,)) -> model; vmapped over H hypothesis masks.
-    residual_fn(model) -> (N,) residuals; vmapped over models.
+    residual_fn(model) -> (N,) residuals; vmapped over models — unless
+    batch_residual_fn(models) -> (H, N) is given, which evaluates all
+    hypotheses in one MXU-shaped call (vmap of a tiny-contraction einsum
+    lowers to VPU broadcast work; see epipolar.sampson_distance_batch).
     valid: (N,) validity of padded data points.
     Scoring is MSAC (truncated quadratic), which dominates plain inlier
     counting at equal cost.
     """
-    masks = sample_masks(key, valid, num_hypotheses, sample_size)
-    models = jax.vmap(solver)(masks)  # pytree with leading H axis
-    residuals = jax.vmap(residual_fn)(models)  # (H, N)
+    if sample_solver is not None:
+        # Minimal solver on the GATHERED k-point sample: the mask-based
+        # solver builds (H, N, ...) design matrices over the full padded
+        # set when only k points per hypothesis are non-zero — at
+        # 1024x8192 that materialization dominates the dispatch.
+        idx = sample_indices(key, valid, num_hypotheses, sample_size)
+        models = jax.vmap(sample_solver)(idx)
+    else:
+        masks = sample_masks(key, valid, num_hypotheses, sample_size)
+        models = jax.vmap(solver)(masks)  # pytree with leading H axis
+    if batch_residual_fn is not None:
+        residuals = batch_residual_fn(models)  # (H, N)
+    else:
+        residuals = jax.vmap(residual_fn)(models)  # (H, N)
 
     valid_b = valid > 0
     inl = (residuals < threshold) & valid_b
@@ -99,6 +137,8 @@ def ransac_with_refit(
     num_hypotheses: int,
     threshold: float,
     refit_rounds: int = 2,
+    batch_residual_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    sample_solver: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
 ) -> RansacResult:
     """RANSAC + iterative least-squares refit on the inlier set.
 
@@ -106,7 +146,9 @@ def ransac_with_refit(
     re-run with the full inlier mask (weighted), then inliers re-evaluated.
     refit_rounds is static (unrolled) — typically 1-2.
     """
-    res = ransac(key, solver, residual_fn, valid, sample_size, num_hypotheses, threshold)
+    res = ransac(key, solver, residual_fn, valid, sample_size, num_hypotheses,
+                 threshold, batch_residual_fn=batch_residual_fn,
+                 sample_solver=sample_solver)
     model, inliers = res.model, res.inliers
 
     for _ in range(refit_rounds):

@@ -1,0 +1,111 @@
+"""Numerical validation of the TPU-fast linear-algebra formulations.
+
+On TPU, batched `eigh`/`svd` of tiny matrices run iterative solvers
+(~50 ms per 1024 on v5e) and dominate every RANSAC dispatch, so the
+hypothesis solvers use analytic/iterative replacements (ops/linalg.py).
+These tests pin their accuracy against the exact dense solvers on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from recon3d_tpu.ops.linalg import (
+    eigh3x3,
+    _smallest_eigvec_fast,
+    _nearest_rotation_polar,
+)
+
+
+def random_spd(rng, n, batch):
+    A = rng.standard_normal((batch, n, n)).astype(np.float32)
+    return A @ A.transpose(0, 2, 1)
+
+
+def test_eigh3x3_matches_numpy(rng):
+    A = random_spd(rng, 3, 256)
+    w, V = jax.jit(eigh3x3)(jnp.asarray(A))
+    w = np.asarray(w)
+    V = np.asarray(V)
+    wr = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(w, wr, rtol=1e-3, atol=1e-3)
+    # each column is an eigenvector: ||A v - w v|| small relative to ||A||
+    for k in range(3):
+        r = np.einsum("bij,bj->bi", A, V[:, :, k]) - w[:, k, None] * V[:, :, k]
+        rel = np.linalg.norm(r, axis=1) / np.linalg.norm(A, axis=(1, 2))
+        assert np.quantile(rel, 0.99) < 5e-3, (k, rel.max())
+    # orthonormal columns
+    G = np.einsum("bik,bil->bkl", V, V)
+    np.testing.assert_allclose(
+        G, np.broadcast_to(np.eye(3), G.shape), atol=2e-3
+    )
+
+
+def test_power_iteration_null_space(rng):
+    """Rank-deficient A^T A from 8-point-style systems: the power iterate
+    must align with the exact null direction."""
+    B = 256
+    A8 = rng.standard_normal((B, 8, 9)).astype(np.float32)
+    AtA = np.einsum("bni,bnj->bij", A8, A8)
+    v = np.asarray(jax.jit(_smallest_eigvec_fast)(jnp.asarray(AtA)))
+    _, vecs = np.linalg.eigh(AtA)
+    v_ref = vecs[..., 0]
+    dots = np.abs(np.sum(v * v_ref, axis=1))
+    assert np.quantile(dots, 0.95) > 0.99999, np.quantile(dots, 0.95)
+    assert dots.min() > 0.999, dots.min()
+
+
+def test_nearest_rotation_polar_matches_svd(rng):
+    M = rng.standard_normal((256, 3, 3)).astype(np.float32)
+    # include near-rotation matrices (the common case in pose solves)
+    q = np.linalg.qr(rng.standard_normal((128, 3, 3)))[0].astype(np.float32)
+    M = np.concatenate([M, q + 0.05 * rng.standard_normal(q.shape).astype(np.float32)])
+    R = np.asarray(_nearest_rotation_polar(jnp.asarray(M)))
+    # exact reference
+    U, _, Vt = np.linalg.svd(M)
+    det = np.linalg.det(U @ Vt)
+    D = np.stack([np.ones_like(det), np.ones_like(det), det], -1)
+    R_ref = (U * D[:, None, :]) @ Vt
+    assert (np.linalg.det(R) > 0.99).all()
+    # valid rotations
+    G = np.einsum("bij,bik->bjk", R, R)
+    np.testing.assert_allclose(
+        G, np.broadcast_to(np.eye(3), G.shape), atol=3e-3
+    )
+    # angle between R and R_ref small except near-degenerate M
+    tr = np.einsum("bij,bij->b", R, R_ref)
+    cos = np.clip((tr - 1) / 2, -1, 1)
+    ang = np.degrees(np.arccos(cos))
+    assert np.quantile(ang, 0.9) < 1.0, np.quantile(ang, 0.9)
+
+
+def test_rank2_projection_matches_svd(rng):
+    """F - (F v3) v3^T equals the SVD rank-2 truncation."""
+    F = rng.standard_normal((128, 3, 3)).astype(np.float32)
+    w, V = eigh3x3(jnp.asarray(np.einsum("bji,bjk->bik", F, F)))
+    v3 = np.asarray(V)[..., :, 0]
+    Fv3 = np.einsum("bij,bj->bi", F, v3)
+    F2 = F - Fv3[..., :, None] * v3[..., None, :]
+    U, S, Vt = np.linalg.svd(F)
+    S2 = S.copy()
+    S2[:, 2] = 0
+    F2_ref = (U * S2[:, None, :]) @ Vt
+    # compare up to the norm of F
+    rel = np.linalg.norm(F2 - F2_ref, axis=(1, 2)) / np.linalg.norm(F, axis=(1, 2))
+    assert np.quantile(rel, 0.95) < 2e-3, np.quantile(rel, 0.95)
+
+
+def test_sampson_batch_matches_vmap(rng):
+    from recon3d_tpu.ops.epipolar import (
+        sampson_distance,
+        sampson_distance_batch,
+    )
+
+    F = jnp.asarray(rng.standard_normal((64, 3, 3)).astype(np.float32))
+    x1 = jnp.asarray(rng.random((200, 2)).astype(np.float32) * 500)
+    x2 = jnp.asarray(rng.random((200, 2)).astype(np.float32) * 500)
+    ref = np.asarray(jax.vmap(lambda f: sampson_distance(f, x1, x2))(F))
+    got = np.asarray(sampson_distance_batch(F, x1, x2))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
