@@ -117,3 +117,27 @@ def test_pnp_vs_opencv(rng):
     # both should be near ground truth, hence near each other
     assert rotation_angle_deg(np.asarray(res.R), R_cv) < 1.0
     np.testing.assert_allclose(np.asarray(res.t), tvec.ravel(), atol=0.1)
+
+
+def test_pnp_ransac_multi_threshold_cascade(rng):
+    """One hypothesis batch scored against a threshold cascade: every
+    threshold must recover the true pose, and inlier counts must be
+    monotone in the threshold."""
+    from recon3d_tpu.ops.pnp import pnp_ransac_multi
+
+    scene = make_scene(rng, n_points=256, n_cams=2, noise_px=0.5, outlier_frac=0.3)
+    res = pnp_ransac_multi(
+        jax.random.PRNGKey(5),
+        jnp.asarray(scene["K"]),
+        jnp.asarray(scene["X"]),
+        jnp.asarray(scene["obs"][1]),
+        jnp.ones(256),
+        jnp.asarray([4.0, 8.0, 12.0]),
+        num_hypotheses=1024,
+    )
+    counts = np.asarray(res.num_inliers)
+    assert counts.shape == (3,)
+    assert (np.diff(counts) >= 0).all(), counts
+    for ti in range(3):
+        assert rotation_angle_deg(np.asarray(res.R[ti]), scene["Rs"][1]) < 0.5
+        np.testing.assert_allclose(np.asarray(res.t[ti]), scene["ts"][1], atol=0.05)
