@@ -46,7 +46,8 @@ def _apply_h(T: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def fundamental_8point(
-    x1: jnp.ndarray, x2: jnp.ndarray, mask: jnp.ndarray
+    x1: jnp.ndarray, x2: jnp.ndarray, mask: jnp.ndarray,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Masked normalized 8-point algorithm.
 
@@ -67,7 +68,7 @@ def fundamental_8point(
     )
     A = A * mask[..., None]
     AtA = einsum_hp("...ni,...nj->...ij", A, A)
-    f = smallest_eigvec(AtA)
+    f = smallest_eigvec(AtA, fast=fast)
     F = f.reshape(f.shape[:-1] + (3, 3))
 
     # Enforce rank 2: subtract the smallest singular component. On TPU the

@@ -51,8 +51,12 @@ def estimate_fundamental_ransac(
         return fundamental_8point(x1, x2, mask)
 
     def sample_solver(idx):
-        # gathered 8-point sample: (8, 2) systems instead of masked (N, 9)
-        return fundamental_8point(x1[idx], x2[idx], jnp.ones(idx.shape[0]))
+        # gathered 8-point sample: (8, 2) systems instead of masked (N, 9);
+        # fast null-space is fine here — hypotheses only vote, the winner
+        # is exactly refit
+        return fundamental_8point(
+            x1[idx], x2[idx], jnp.ones(idx.shape[0]), fast=True
+        )
 
     def residual_fn(F):
         return sampson_distance(F, x1, x2)

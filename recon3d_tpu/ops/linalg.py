@@ -88,18 +88,26 @@ def _smallest_eigvec_fast(A: jnp.ndarray, iters: int = 3) -> jnp.ndarray:
     return z
 
 
-def smallest_eigvec(A: jnp.ndarray) -> jnp.ndarray:
+def smallest_eigvec(A: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
     """Eigenvector of the smallest eigenvalue of a symmetric PSD (..., n, n)
     matrix — null-space extraction for the DLT/8-point solvers (A^T A
     formulation instead of SVD of the tall matrix).
 
-    CPU: exact `eigh` (ascending order -> first column); tests stay
-    deterministic. TPU: power iteration (see _smallest_eigvec_power).
+    fast=True (TPU only) uses Cholesky inverse iteration — an order of
+    magnitude faster for large hypothesis batches, but in f32 it loses
+    accuracy on ill-conditioned systems (A^T A squares the condition
+    number; small-parallax triangulation and near-degenerate minimal
+    samples live there). Use it ONLY where the result is re-polished or
+    merely votes (RANSAC hypothesis solvers); accuracy-critical paths
+    (triangulation, refits) keep the exact eigh — structure drift from a
+    slightly-off null vector compounds across an incremental
+    reconstruction (measured: 48/50 -> 23/50 cameras on the 50-image
+    scene when triangulation used the fast path).
     """
-    if jax.default_backend() == "cpu":
-        _, vecs = jnp.linalg.eigh(A)
-        return vecs[..., :, 0]
-    return _smallest_eigvec_fast(A)
+    if fast and jax.default_backend() != "cpu":
+        return _smallest_eigvec_fast(A)
+    _, vecs = jnp.linalg.eigh(A)
+    return vecs[..., :, 0]
 
 
 def eigh3x3(A: jnp.ndarray):

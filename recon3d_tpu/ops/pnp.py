@@ -19,7 +19,8 @@ from recon3d_tpu.ops.ransac import ransac, RansacResult
 
 
 def pnp_dlt(
-    X: jnp.ndarray, x_norm: jnp.ndarray, weights: jnp.ndarray
+    X: jnp.ndarray, x_norm: jnp.ndarray, weights: jnp.ndarray,
+    fast: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Weighted linear PnP from >= 6 3D-2D correspondences.
 
@@ -29,7 +30,18 @@ def pnp_dlt(
     positive-depth vote over the weighted points.
     """
     n = X.shape[0]
-    Xh = jnp.concatenate([X, jnp.ones((n, 1), X.dtype)], axis=1)  # (N, 4)
+    # Hartley-style world normalization (zero mean, unit RMS over the
+    # weighted points): the raw DLT normal matrix mixes coordinate scales
+    # and its f32 condition breaks the fast Cholesky null-space path on
+    # minimal samples; normalization fixes the conditioning at the source
+    # (and helps the exact path too).
+    wsum = jnp.maximum(jnp.sum(weights), 1.0)
+    c = jnp.sum(X * weights[:, None], axis=0) / wsum
+    d = jnp.linalg.norm(X - c, axis=1)
+    s = jnp.maximum(jnp.sum(d * weights) / wsum, 1e-8)
+    Xn = (X - c) / s
+
+    Xh = jnp.concatenate([Xn, jnp.ones((n, 1), X.dtype)], axis=1)  # (N, 4)
     zeros = jnp.zeros_like(Xh)
     u, v = x_norm[:, 0:1], x_norm[:, 1:2]
     # Rows: [X 0 -u*X ; 0 X -v*X] for P (3,4) flattened row-major (12,)
@@ -39,14 +51,28 @@ def pnp_dlt(
     w = jnp.concatenate([weights, weights], axis=0)[:, None]
     A = A * w
     AtA = einsum_hp("ni,nj->ij", A, A)
-    p = smallest_eigvec(AtA)
+    p = smallest_eigvec(AtA, fast=fast)
     P = p.reshape(3, 4)
+    # Denormalize: x ~ P' Xh_n = (P' T) Xh with T = [[I/s, -c/s], [0, 1]]
+    T = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [jnp.eye(3, dtype=X.dtype) / s, (-c / s)[:, None]], axis=1
+            ),
+            jnp.asarray([[0.0, 0.0, 0.0, 1.0]], X.dtype),
+        ],
+        axis=0,
+    )
+    P = matmul_hp(P, T)
 
     # Normalize scale by the third row of M (its norm is 1 for a true [R|t]),
     # then fix the overall sign so weighted depths (P[2] . Xh) are positive.
     m3 = jnp.linalg.norm(P[2, :3])
     P = P / jnp.maximum(m3, 1e-12)
-    depth = einsum_hp("nj,j->n", Xh, P[2])
+    # depth sign check uses the ORIGINAL (unnormalized) points — P has been
+    # denormalized above
+    Xh_orig = jnp.concatenate([X, jnp.ones((n, 1), X.dtype)], axis=1)
+    depth = einsum_hp("nj,j->n", Xh_orig, P[2])
     sign = jnp.where(jnp.sum(depth * weights) < 0, -1.0, 1.0)
     P = P * sign
 
@@ -204,7 +230,10 @@ def pnp_ransac_multi(
     )[:, :2]
 
     def sample_solver(idx):
-        R, t = pnp_dlt(X[idx], x_norm[idx], jnp.ones(idx.shape[0], X.dtype))
+        # fast null-space: hypotheses vote, the winner gets GN-polished
+        R, t = pnp_dlt(
+            X[idx], x_norm[idx], jnp.ones(idx.shape[0], X.dtype), fast=True
+        )
         return jnp.concatenate([R.reshape(9), t], axis=0)  # (12,)
 
     idx = sample_indices(key, valid, num_hypotheses, 6)

@@ -45,15 +45,25 @@ def sample_indices(
     g = jax.random.gumbel(key, (num_hypotheses, n)) + logits
     if jax.default_backend() == "cpu":
         _, idx = jax.lax.top_k(g, sample_size)  # (H, k)
-    else:
-        # top_k sorts each row on TPU (~30 ms at 1024x8192 — it was the
-        # hottest op left in the whole RANSAC dispatch). approx_max_k of
-        # iid Gumbel noise remains a random without-replacement sample
-        # (distinct indices, permutation-symmetric over the valid set);
-        # the bucketed selection's slight deviation from exact Gumbel
-        # top-k is irrelevant for hypothesis sampling.
-        _, idx = jax.lax.approx_max_k(g, sample_size)
-    return idx
+        return idx
+    # top_k sorts each row on TPU (~30 ms at 1024x8192 — it was the hottest
+    # op left in the whole RANSAC dispatch). For minimal-sample k, exact
+    # top-k is k iterated argmax+mask passes — plain reductions, ~ms.
+    # (approx_max_k is NOT safe here: on heavily-padded rows its bucketed
+    # selection can return -inf (invalid) slots, poisoning the minimal
+    # sample with padding points — observed as wave-registration failures.)
+    return _topk_indices_iterative(g, sample_size)
+
+
+def _topk_indices_iterative(g: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Exact top-k indices of each row via k argmax+mask passes (no sort)."""
+    rows = jnp.arange(g.shape[0])
+    picks = []
+    for _ in range(k):
+        m = jnp.argmax(g, axis=-1)
+        picks.append(m)
+        g = g.at[rows, m].set(-jnp.inf)
+    return jnp.stack(picks, axis=-1)
 
 
 def sample_masks(

@@ -20,6 +20,7 @@ calls are padded to power-of-two buckets so jit caches stay small.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional, Set, Tuple
 
@@ -577,10 +578,18 @@ class SfMPipeline:
         n_inl_b = np.asarray(res.num_inliers)  # (B, T)
         inl_b = np.asarray(res.inliers)      # (B, T, cap)
 
+        debug_dir = os.environ.get("RECON3D_DEBUG_REGISTER_DIR")
         accepted: List[int] = []
         for b, (i, kps, pids) in enumerate(cands):
             n = len(kps)
             need = max(cfg.pnp_min_correspondences, int(0.25 * n))
+            if debug_dir:
+                os.makedirs(debug_dir, exist_ok=True)
+                np.savez(
+                    os.path.join(debug_dir, f"reg_{i:03d}.npz"),
+                    X=Xp[b], x=xp[b], valid=vp[b], K=np.asarray(self.camera.K),
+                    n=n, need=need, n_inl=n_inl_b[b],
+                )
             for ti in range(len(cfg.pnp_thresholds_px)):
                 if int(n_inl_b[b, ti]) < need:
                     continue

@@ -109,3 +109,40 @@ def test_sampson_batch_matches_vmap(rng):
     ref = np.asarray(jax.vmap(lambda f: sampson_distance(f, x1, x2))(F))
     got = np.asarray(sampson_distance_batch(F, x1, x2))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pnp_dlt_fast_matches_exact_ill_conditioned(rng):
+    """Minimal 6-point DLT on OFF-CENTER world points: both null-space
+    paths must recover the true pose. Without internal world-point
+    normalization the raw DLT normal matrix is ill-conditioned in f32 and
+    the fast (Cholesky inverse-iteration) path silently broke incremental
+    registration (48/50 -> 23/50 cameras)."""
+    from recon3d_tpu.ops.pnp import pnp_dlt
+
+    ok = 0
+    for trial in range(20):
+        r = np.random.default_rng(trial)
+        # off-center cloud, viewed close enough for a wide angular spread
+        X = (r.random((6, 3)) * 4 + [10.0, -6.0, 12.0]).astype(np.float32)
+        c = X.mean(0)
+        # camera placed near the cloud, looking at its center
+        C = c + np.array([3.0, 2.0, -5.0], np.float32)
+        z = (c - C) / np.linalg.norm(c - C)
+        up = np.array([0.0, 1.0, 0.0])
+        xax = np.cross(up, z); xax /= np.linalg.norm(xax)
+        yax = np.cross(z, xax)
+        Rm = np.stack([xax, yax, z]).astype(np.float32)
+        t = (-Rm @ C).astype(np.float32)
+        Xc = X @ Rm.T + t
+        assert (Xc[:, 2] > 0.5).all()
+        xn = (Xc[:, :2] / Xc[:, 2:]).astype(np.float32)
+        w = jnp.ones(6)
+        for fast in (False, True):
+            Rg, tg = pnp_dlt(jnp.asarray(X), jnp.asarray(xn), w, fast=fast)
+            tr = np.clip((np.trace(np.asarray(Rg) @ Rm.T) - 1) / 2, -1, 1)
+            assert np.degrees(np.arccos(tr)) < 0.5, (trial, fast)
+            np.testing.assert_allclose(
+                np.asarray(tg), t, rtol=2e-2, atol=5e-2
+            )
+        ok += 1
+    assert ok == 20

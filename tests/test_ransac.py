@@ -141,3 +141,19 @@ def test_pnp_ransac_multi_threshold_cascade(rng):
     for ti in range(3):
         assert rotation_angle_deg(np.asarray(res.R[ti]), scene["Rs"][1]) < 0.5
         np.testing.assert_allclose(np.asarray(res.t[ti]), scene["ts"][1], atol=0.05)
+
+
+def test_topk_indices_iterative_exact(rng):
+    """The TPU sampler's iterated-argmax top-k equals exact top_k — in
+    particular it can never select -inf (invalid/padded) slots while any
+    valid slot remains."""
+    from recon3d_tpu.ops.ransac import _topk_indices_iterative
+
+    g = rng.standard_normal((64, 512)).astype(np.float32)
+    g[:, 400:] = -np.inf  # heavy padding
+    idx = np.asarray(_topk_indices_iterative(jnp.asarray(g), 8))
+    ref = np.argsort(-g, axis=-1)[:, :8]
+    got_vals = np.take_along_axis(g, idx, 1)
+    ref_vals = np.take_along_axis(g, ref, 1)
+    np.testing.assert_allclose(np.sort(got_vals, 1), np.sort(ref_vals, 1))
+    assert (idx < 400).all()
