@@ -122,9 +122,23 @@ class NeuralMatcher:
                 self._lg_params = load_params_npz(
                     self._bundled_lg, self._lg_params
                 )
-            except (KeyError, ValueError):
+            except (KeyError, ValueError) as e:
                 if self.config.matcher == "auto":
                     self.matcher_kind = "nn"  # incompatible model config
+                else:
+                    # explicit matcher="lightglue" with no loadable weights
+                    # would silently match with a random-init network —
+                    # refuse instead of producing noise matches
+                    raise RuntimeError(
+                        "matcher='lightglue' requested but the bundled "
+                        f"checkpoint does not fit this model config: {e}. "
+                        "Pass lightglue_weights= or use matcher='auto'."
+                    ) from e
+        elif self.config.matcher == "lightglue":
+            raise RuntimeError(
+                "matcher='lightglue' requested but no weights are available "
+                "(no lightglue_weights path and no bundled checkpoint)."
+            )
 
     # -- extraction (reference neural_matcher.py:67-99) ----------------------
 

@@ -123,14 +123,22 @@ def eigh3x3(A: jnp.ndarray):
     p2 = jnp.sum(Bm * Bm, axis=(-2, -1)) / 6.0
     p = jnp.sqrt(jnp.maximum(p2, 1e-30))
     detB = jnp.linalg.det(Bm)
-    r = jnp.clip(detB / (2.0 * p**3), -1.0, 1.0)
+    # Exactly isotropic input: p**3 underflows f32 and detB/(2 p^3) is 0/0
+    # = NaN; any r is a correct limit there (all eigenvalues equal q), so
+    # pin r=1 (phi=0) instead of propagating NaN into the eigenvalues.
+    iso = p2 < 1e-24
+    r = jnp.where(
+        iso,
+        jnp.ones_like(detB),
+        jnp.clip(detB / jnp.maximum(2.0 * p**3, 1e-30), -1.0, 1.0),
+    )
     phi = jnp.arccos(r) / 3.0
     e1 = q + 2.0 * p * jnp.cos(phi)                      # largest
     e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
     e2 = 3.0 * q - e1 - e3
     w = jnp.stack([e3, e2, e1], axis=-1)  # ascending
 
-    def eigvec(lam):
+    def eigvec(lam, fallback_axis):
         # v spans null(A - lam I): cross products of row pairs; pick the
         # most independent pair (largest cross norm).
         M = A - lam[..., None, None] * jnp.eye(3, dtype=A.dtype)
@@ -143,16 +151,31 @@ def eigh3x3(A: jnp.ndarray):
         v = jnp.take_along_axis(
             cands, best[..., None, None].repeat(3, -1), axis=-2
         )[..., 0, :]
-        # near-degenerate (isotropic) fallback
+        # Near-degenerate (isotropic) fallback: any orthonormal basis is an
+        # eigenbasis, but the two eigvec calls must not collapse onto the
+        # SAME axis (that zeroed v1 after Gram-Schmidt and made
+        # nearest_rotation return ~0 for exact scaled rotations) — so each
+        # call falls back to its own canonical axis.
         ok = jnp.max(norms, axis=-1) > 1e-20
-        v = jnp.where(ok[..., None], v, jnp.zeros_like(v).at[..., 0].set(1.0))
+        fb = jnp.zeros_like(v).at[..., fallback_axis].set(1.0)
+        v = jnp.where(ok[..., None], v, fb)
         return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
 
-    v3 = eigvec(e3)
-    v1 = eigvec(e1)
+    v3 = eigvec(e3, 0)
+    v1 = eigvec(e1, 2)
     # enforce orthogonality: v2 = v3 x v1 (exact for distinct eigenvalues,
     # a valid completion in the degenerate case)
     v1 = v1 - jnp.sum(v1 * v3, -1, keepdims=True) * v3
+    # Near-isotropic A (e1 ~ e3 up to f32 noise): both eigvec calls can
+    # return the SAME noise direction and Gram-Schmidt collapses v1 to ~0.
+    # Any unit vector orthogonal to v3 is then a correct eigenvector —
+    # complete the basis from the coordinate axis least aligned with v3.
+    n1 = jnp.linalg.norm(v1, axis=-1, keepdims=True)
+    axis = jax.nn.one_hot(
+        jnp.argmin(jnp.abs(v3), axis=-1), 3, dtype=v3.dtype
+    )
+    alt = axis - jnp.sum(axis * v3, -1, keepdims=True) * v3
+    v1 = jnp.where(n1 > 1e-4, v1, alt)
     v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-20)
     v2 = jnp.cross(v3, v1)
     V = jnp.stack([v3, v2, v1], axis=-1)  # columns, ascending eigenvalues

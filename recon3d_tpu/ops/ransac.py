@@ -36,9 +36,10 @@ def sample_indices(
     valid entries of a padded array; returns indices (H, k).
 
     Implemented as Gumbel top-k over the validity logits — one fused
-    (H, N) computation, no host loop. Rows with fewer than k valid points
-    repeat valid indices (the solver then sees a degenerate sample that
-    loses the inlier vote — same net behavior as a masked short sample).
+    (H, N) computation, no host loop. When fewer than k points are valid,
+    the surplus picks land on arbitrary (possibly padded) slots — the
+    resulting hypothesis is degenerate/garbage and simply loses the inlier
+    vote, so callers must NOT rely on every returned index being valid.
     """
     n = valid.shape[-1]
     logits = jnp.where(valid > 0, 0.0, -jnp.inf)

@@ -329,6 +329,8 @@ def bundle_adjust(
     )
     params = BAParams(xi=jnp.zeros((C, 6)), dX=jnp.zeros((P, 3)))
 
+    # robust_w=1 here; padded slots still contribute zero because
+    # _residuals multiplies by data.obs_w internally.
     r_init = _residuals(params, data, jnp.ones_like(data.obs_w))
     rms0 = float(jnp.sqrt(jnp.sum(r_init**2) / max(O, 1)))
 

@@ -146,3 +146,26 @@ def test_pnp_dlt_fast_matches_exact_ill_conditioned(rng):
             )
         ok += 1
     assert ok == 20
+
+
+def test_eigh3x3_exactly_isotropic():
+    """Scaled-identity input: eigenvalues must be exact (not NaN from the
+    0/0 Cardano term) and the eigenvector fallback must return a full
+    orthonormal triad, not three copies of e_x (ADVICE r1)."""
+    for s in [1.0, 2.0, 7.5]:
+        w, V = jax.jit(eigh3x3)(s * jnp.eye(3))
+        np.testing.assert_allclose(np.asarray(w), s, atol=1e-5)
+        G = np.asarray(V).T @ np.asarray(V)
+        np.testing.assert_allclose(G, np.eye(3), atol=1e-5)
+
+
+def test_nearest_rotation_polar_identity_and_scaled_rotation(rng):
+    """M that is exactly a scaled rotation must map to that rotation (the
+    old isotropic fallback returned a near-zero matrix)."""
+    from recon3d_tpu.ops.lie import so3_exp
+
+    Rs = np.asarray(so3_exp(jnp.asarray(rng.normal(size=(8, 3)), jnp.float32)))
+    Ms = np.concatenate([np.eye(3)[None], 3.0 * Rs]).astype(np.float32)
+    out = np.asarray(_nearest_rotation_polar(jnp.asarray(Ms)))
+    expect = np.concatenate([np.eye(3)[None], Rs]).astype(np.float32)
+    np.testing.assert_allclose(out, expect, atol=5e-3)

@@ -180,3 +180,16 @@ def test_neural_batched_pair_matching():
         assert len(idx1) == len(idx2) == n_inl or n_inl >= len(idx1) - 1
         if len(idx1):
             assert idx1.max() < 64 and idx2.max() < 64
+
+
+def test_explicit_lightglue_with_incompatible_config_raises():
+    """matcher='lightglue' whose config cannot load any weights must refuse
+    instead of silently matching with a random-init network (ADVICE r1)."""
+    cfg = NeuralConfig(
+        max_keypoints=64, lightglue_layers=2, descriptor_dim=64,
+        matcher="lightglue",
+    )
+    nm = NeuralMatcher(cfg)
+    img = np.random.default_rng(0).random((96, 128)).astype(np.float32)
+    with pytest.raises(RuntimeError, match="lightglue"):
+        nm.extract(img)
