@@ -87,8 +87,10 @@ class MessageUpdate(nn.Module):
     def __call__(self, x, message):
         y = jnp.concatenate([x, message], axis=-1)
         y = nn.Dense(2 * self.dim, name="ffn1")(y)
-        y = nn.LayerNorm(name="ln")(y)
-        y = nn.gelu(y)
+        # exact GELU + torch LayerNorm eps: bit-parity with converted
+        # public checkpoints (official ffn uses nn.GELU() / LN eps 1e-5)
+        y = nn.LayerNorm(name="ln", epsilon=1e-5)(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="ffn2")(y)
         return x + y
 

@@ -94,62 +94,188 @@ def _dense(sd, name, transpose=True):
     }
 
 
-def load_lightglue_torch(path: str, template: Any) -> Any:
-    """Best-effort mapping of the public LightGlue checkpoint.
+def _rotary_perm(dh: int) -> np.ndarray:
+    """Head-dim permutation translating the official interleaved rotary
+    pairing ((2i, 2i+1)) into our half-split pairing ((i, i+dh/2)).
 
-    The public checkpoint's module paths (transformers.{i}.self_attn /
-    cross_attn, input_proj, log_assignment) are mapped onto LightGlueNet's
-    layer{i} names. Heads whose shapes disagree with the template are left
-    at their initialized values (and reported), so partially compatible
-    checkpoints still load.
+    Our apply_rotary pairs x[i] with x[i+dh/2] and uses cos/sin of
+    frequency i for both; the official rotate_half pairs x[2i] with
+    x[2i+1] under frequency i. Permuting the q/k projection OUTPUT rows by
+    new[i] = old[2i], new[i+dh/2] = old[2i+1] makes the two formulations
+    produce identical attention logits (q.k is invariant to a shared
+    permutation), so converted weights run bit-equivalently.
+    """
+    return np.concatenate([np.arange(0, dh, 2), np.arange(1, dh, 2)])
+
+
+def _headed(w: np.ndarray, heads: int, perm: np.ndarray | None) -> np.ndarray:
+    """(d_out, d_in) torch Linear weight -> flax kernel (d_in, d_out),
+    optionally permuting the per-head output rows for the rotary layout."""
+    if perm is None:
+        return w.T
+    d_out = w.shape[0]
+    dh = d_out // heads
+    return w.reshape(heads, dh, -1)[:, perm].reshape(d_out, -1).T
+
+
+def _headed_bias(b: np.ndarray, heads: int, perm: np.ndarray | None) -> np.ndarray:
+    if perm is None:
+        return b
+    dh = b.shape[0] // heads
+    return b.reshape(heads, dh)[:, perm].reshape(-1)
+
+
+def load_lightglue_torch(path: str, template: Any, strict: bool = True) -> Any:
+    """Map the public LightGlue checkpoint (cvg/LightGlue) onto LightGlueNet.
+
+    Handles the official layouts exactly (replacing the reference's use of
+    the lightglue pip package, neural_matcher.py:47-66):
+      - `transformers.{i}.self_attn.Wqkv`: fused projection whose output is
+        laid out (heads, head_dim, 3) interleaved — NOT [q|k|v] blocks,
+      - `transformers.{i}.cross_attn.to_qk/to_v/to_out`: one shared qk
+        projection consumed by both directions,
+      - shared per-layer weights applied to both images (mapped onto both
+        of our *0/*1 modules),
+      - `posenc.Wr`: learnable Fourier rotary frequencies (row permutation
+        applied to q/k so our half-split rotary matches the official
+        interleaved pairing, see _rotary_perm),
+      - `log_assignment.{last}`: final_proj + matchability,
+      - missing `input_proj` (Identity when input_dim == descriptor_dim)
+        synthesized as the identity matrix,
+      - legacy `self_attn.{i}.*` key names renamed to `transformers.{i}.*`.
+
+    strict=True (default) raises KeyError/ValueError if any head LightGlueNet
+    consumes is absent or shape-mismatched — a silent partial load cannot
+    happen. Checkpoint keys our static-depth inference deliberately ignores
+    (token_confidence.*, the per-layer log_assignment heads below the last,
+    buffers) are skipped without error.
     """
     sd = _load_torch_state(path)
+    # legacy key names (pre-2023.09 checkpoints)
+    renamed = {}
+    for k, v in sd.items():
+        import re
+
+        k2 = re.sub(r"^self_attn\.(\d+)\.", r"transformers.\1.self_attn.", k)
+        k2 = re.sub(r"^cross_attn\.(\d+)\.", r"transformers.\1.cross_attn.", k2)
+        renamed[k2] = v
+    sd = renamed
+
     params = dict(template["params"])
-    skipped = []
-
-    def try_set(dst: Dict, key: str, value: Dict):
-        if key in dst and all(
-            dst[key][k].shape == v.shape for k, v in value.items() if k in dst[key]
-        ):
-            dst[key] = value
-        else:
-            skipped.append(key)
-
-    if "input_proj.weight" in sd:
-        try_set(params, "input_proj", _dense(sd, "input_proj"))
-
     n_layers = len([k for k in params if k.startswith("layer")])
-    for i in range(n_layers):
-        lname = f"layer{i}"
-        if lname not in params:
-            continue
-        layer = dict(params[lname])
-        for ours, theirs in [
-            ("self_attn0", f"transformers.{i}.self_attn"),
-            ("self_attn1", f"transformers.{i}.self_attn"),
-            ("cross_attn0", f"transformers.{i}.cross_attn"),
-            ("cross_attn1", f"transformers.{i}.cross_attn"),
-        ]:
-            if f"{theirs}.Wqkv.weight" in sd and ours in layer:
-                Wqkv = sd[f"{theirs}.Wqkv.weight"]
-                bqkv = sd.get(f"{theirs}.Wqkv.bias")
-                d = Wqkv.shape[0] // 3
-                sub = dict(layer[ours])
-                for j, nm in enumerate(["to_q", "to_k", "to_v"]):
-                    blk = {
-                        "kernel": Wqkv[j * d : (j + 1) * d].T,
-                        "bias": (bqkv[j * d : (j + 1) * d] if bqkv is not None
-                                 else np.zeros(d, Wqkv.dtype)),
-                    }
-                    if nm in sub and sub[nm]["kernel"].shape == blk["kernel"].shape:
-                        sub[nm] = blk
-                if f"{theirs}.out_proj.weight" in sd and "to_out" in sub:
-                    blk = _dense(sd, f"{theirs}.out_proj")
-                    if sub["to_out"]["kernel"].shape == blk["kernel"].shape:
-                        sub["to_out"] = blk
-                layer[ours] = sub
-        params[lname] = layer
 
-    if skipped:
-        print(f"[weights] lightglue: left {len(skipped)} heads at init: {skipped[:5]}...")
-    return {"params": params}
+    def take(key):
+        if key not in sd:
+            raise KeyError(f"lightglue checkpoint {path} missing {key}")
+        return sd[key]
+
+    def shaped(arr, like, key):
+        like = np.asarray(like)
+        if arr.shape != like.shape:
+            raise ValueError(
+                f"lightglue checkpoint {path} shape mismatch at {key}: "
+                f"{arr.shape} vs {like.shape}"
+            )
+        return arr.astype(like.dtype)
+
+    def assign(dst: Dict, name: str, kernel, bias, key: str):
+        dst[name] = {
+            "kernel": shaped(kernel, dst[name]["kernel"], key + ".kernel"),
+            "bias": shaped(bias, dst[name]["bias"], key + ".bias"),
+        }
+
+    try:
+        out = dict(params)
+        dim = np.asarray(params["final_proj"]["kernel"]).shape[0]
+        dh2 = np.asarray(params["rotary_freqs"]).shape[1]
+        heads = dim // (2 * dh2)
+        perm = _rotary_perm(2 * dh2)
+
+        # positional encoding
+        out["rotary_freqs"] = shaped(
+            take("posenc.Wr.weight").T, params["rotary_freqs"], "rotary_freqs"
+        )
+
+        # input projection: Identity in the public SuperPoint config
+        if "input_proj.weight" in sd:
+            assign(out, "input_proj", take("input_proj.weight").T,
+                   take("input_proj.bias"), "input_proj")
+        else:
+            assign(
+                out, "input_proj",
+                np.eye(dim, dtype=np.float32),
+                np.zeros(dim, np.float32),
+                "input_proj(identity)",
+            )
+
+        for i in range(n_layers):
+            layer = dict(out[f"layer{i}"])
+            sp = f"transformers.{i}.self_attn"
+            cp = f"transformers.{i}.cross_attn"
+
+            # fused Wqkv, official layout (heads, head_dim, 3)
+            Wqkv = take(f"{sp}.Wqkv.weight")  # (3d, d)
+            bqkv = take(f"{sp}.Wqkv.bias")
+            Wh = Wqkv.reshape(heads, -1, 3, Wqkv.shape[1])  # (H, dh, 3, d)
+            bh = bqkv.reshape(heads, -1, 3)  # (H, dh, 3)
+            qkv = {}
+            for t, nm in enumerate(["to_q", "to_k", "to_v"]):
+                p = perm if nm in ("to_q", "to_k") else None
+                w_t = Wh[:, :, t, :].reshape(heads * Wh.shape[1], -1)
+                b_t = bh[:, :, t].reshape(-1)
+                qkv[nm] = (_headed(w_t, heads, p), _headed_bias(b_t, heads, p))
+            for side in ("self_attn0", "self_attn1"):
+                sub = dict(layer[side])
+                for nm, (w_t, b_t) in qkv.items():
+                    assign(sub, nm, w_t, b_t, f"{sp}.Wqkv[{nm}]")
+                assign(sub, "to_out", take(f"{sp}.out_proj.weight").T,
+                       take(f"{sp}.out_proj.bias"), f"{sp}.out_proj")
+                layer[side] = sub
+
+            # cross attention: shared to_qk feeds both q and k (no rotary,
+            # so no permutation is needed or applied)
+            for side in ("cross_attn0", "cross_attn1"):
+                sub = dict(layer[side])
+                assign(sub, "to_q", take(f"{cp}.to_qk.weight").T,
+                       take(f"{cp}.to_qk.bias"), f"{cp}.to_qk")
+                assign(sub, "to_k", take(f"{cp}.to_qk.weight").T,
+                       take(f"{cp}.to_qk.bias"), f"{cp}.to_qk")
+                assign(sub, "to_v", take(f"{cp}.to_v.weight").T,
+                       take(f"{cp}.to_v.bias"), f"{cp}.to_v")
+                assign(sub, "to_out", take(f"{cp}.to_out.weight").T,
+                       take(f"{cp}.to_out.bias"), f"{cp}.to_out")
+                layer[side] = sub
+
+            # residual FFNs: Sequential(Linear, LayerNorm, GELU, Linear)
+            for ours, theirs in [
+                ("self_upd0", sp), ("self_upd1", sp),
+                ("cross_upd0", cp), ("cross_upd1", cp),
+            ]:
+                sub = dict(layer[ours])
+                assign(sub, "ffn1", take(f"{theirs}.ffn.0.weight").T,
+                       take(f"{theirs}.ffn.0.bias"), f"{theirs}.ffn.0")
+                sub["ln"] = {
+                    "scale": shaped(take(f"{theirs}.ffn.1.weight"),
+                                    sub["ln"]["scale"], f"{theirs}.ffn.1.weight"),
+                    "bias": shaped(take(f"{theirs}.ffn.1.bias"),
+                                   sub["ln"]["bias"], f"{theirs}.ffn.1.bias"),
+                }
+                assign(sub, "ffn2", take(f"{theirs}.ffn.3.weight").T,
+                       take(f"{theirs}.ffn.3.bias"), f"{theirs}.ffn.3")
+                layer[ours] = sub
+
+            out[f"layer{i}"] = layer
+
+        # assignment head: the last layer's (earlier ones serve the official
+        # early-exit, which our static-depth inference removes by design)
+        la = f"log_assignment.{n_layers - 1}"
+        assign(out, "final_proj", take(f"{la}.final_proj.weight").T,
+               take(f"{la}.final_proj.bias"), f"{la}.final_proj")
+        assign(out, "matchability", take(f"{la}.matchability.weight").T,
+               take(f"{la}.matchability.bias"), f"{la}.matchability")
+    except (KeyError, ValueError):
+        if strict:
+            raise
+        return {"params": params}
+
+    return {"params": out}
