@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write a jax.profiler trace to this directory")
     p.add_argument("--stats-json", type=str, default=None,
                    help="Write pipeline statistics + stage timings to a JSON file")
+    p.add_argument("--devices", type=int, default=0,
+                   help="Max devices to use (0 = all; 1 disables the mesh)")
     return p
 
 
@@ -96,12 +98,31 @@ def main(argv=None) -> int:
     cfg = cfg.replace(sfm=dataclasses.replace(cfg.sfm, seed=args.seed))
     timer = StageTimer()
 
+    # Multi-chip hosts get a data-parallel mesh automatically: pair matching
+    # and the dense per-view jobs shard over it (the reference runs these as
+    # serial single-GPU loops, mvs_patchmatch.py:104-123 /
+    # sfm_pipeline.py:188-208). --devices 1 forces the single-device path.
+    mesh = None
+    if args.devices != 1:
+        import jax
+
+        from recon3d_tpu.parallel.mesh import make_mesh
+        from recon3d_tpu.config import MeshConfig
+
+        devs = jax.devices()
+        if args.devices > 0:
+            devs = devs[: args.devices]
+        if len(devs) > 1:
+            mesh = make_mesh(MeshConfig(model_parallel=1), devices=devs)
+            print(f"[mesh] data-parallel over {mesh.shape['data']} devices")
+
     with maybe_trace(args.profile):
         pipeline = SfMPipeline(
             calibration_path=args.calibration,
             fast_mode=args.fast,
             neural_mode=args.neural,
             config=cfg,
+            mesh=mesh,
         )
 
         ckpt = None
@@ -143,7 +164,9 @@ def main(argv=None) -> int:
 
                 with timer.stage("patchmatch_mvs"):
                     rec = PatchMatchMVS(camera, cfg.patchmatch)
-                    dp, dc = rec.reconstruct(images, poses, sparse_points=points)
+                    dp, dc = rec.reconstruct(
+                        images, poses, sparse_points=points, mesh=mesh
+                    )
                 if len(dp):
                     save_ply(str(output_dir / "dense_mvs.ply"), dp, dc)
                     print(f"  dense_mvs.ply: {len(dp):,} points")
@@ -153,7 +176,9 @@ def main(argv=None) -> int:
 
                 with timer.stage("plane_sweep"):
                     rec = PlaneSweepReconstructor(camera, cfg.plane_sweep)
-                    dp, dc = rec.reconstruct(images, poses, sparse_points=points)
+                    dp, dc = rec.reconstruct(
+                        images, poses, sparse_points=points, mesh=mesh
+                    )
                 if len(dp):
                     save_ply(str(output_dir / "dense_stereo.ply"), dp, dc)
                     print(f"  dense_stereo.ply: {len(dp):,} points")

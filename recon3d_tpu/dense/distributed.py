@@ -54,12 +54,15 @@ def distributed_patchmatch(
     num_samples: int = 8,
     patch: int = 11,
     ncc_threshold: float = 0.6,
+    keys: Optional[np.ndarray] = None,  # (B, key) explicit per-view keys
 ) -> DepthNormalMap:
     """PatchMatch a batch of reference views sharded over the mesh.
 
     The view axis B is padded to a multiple of the data-mesh size and sharded;
     each chip runs patchmatch_depth_batch on its shard. Returns host-side
-    DepthNormalMap with the padding stripped.
+    DepthNormalMap with the padding stripped. Pass `keys` to pin the per-view
+    PRNG stream (PatchMatchMVS does, so mesh and single-device runs produce
+    identical depth maps); otherwise keys derive from `seed`.
     """
     mesh = mesh or make_mesh()
     n_data = mesh.shape["data"]
@@ -74,7 +77,11 @@ def distributed_patchmatch(
     ):
         padded, _ = pad_to_multiple(np.asarray(x), n_data, axis=0)
         arrays[name] = _put(mesh, padded, 0)
-    keys_host = jax.random.split(jax.random.PRNGKey(seed), arrays["ref_grays"].shape[0])
+    Bp = arrays["ref_grays"].shape[0]
+    if keys is None:
+        keys_host = np.asarray(jax.random.split(jax.random.PRNGKey(seed), Bp))
+    else:
+        keys_host, _ = pad_to_multiple(np.asarray(keys)[:B], n_data, axis=0)
     keys = _put(mesh, keys_host, 0)
     Kd = _put(mesh, K, None)
 

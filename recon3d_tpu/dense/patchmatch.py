@@ -373,6 +373,7 @@ class PatchMatchMVS:
         poses: Dict[int, Tuple[np.ndarray, np.ndarray]],
         sparse_points: Optional[np.ndarray] = None,
         views_per_batch: int = 4,
+        mesh=None,
     ):
         cfg = self.config
         t0 = time.time()
@@ -423,14 +424,45 @@ class PatchMatchMVS:
 
         t_prep = time.time() - t0
         key = jax.random.PRNGKey(cfg.seed)
-        # ONE upload of the whole small gray stack; per-batch ref/source
-        # planes are device-side gathers (a per-batch float32 upload costs
-        # ~5x the bytes over the link and a transfer stall per batch).
-        grays_d = jnp.asarray(grays)
         n_batches = (V + views_per_batch - 1) // views_per_batch
         keys_np = np.asarray(
             jax.random.split(key, n_batches * views_per_batch)
         )
+
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            # Multi-chip: ALL view jobs shard over the mesh's 'data' axis in
+            # one call (the reference loops views serially on one GPU,
+            # mvs_patchmatch.py:104-123). Per-view keys are the same stream
+            # as the single-device batches below (view v -> keys_np[v]), so
+            # both paths produce identical depth maps.
+            from recon3d_tpu.dense.distributed import distributed_patchmatch
+
+            out = distributed_patchmatch(
+                grays,
+                np.stack([grays[[row[j] for j in sources[i]]] for i in ids]),
+                K,
+                Rs, ts,
+                np.stack([Rs[[row[j] for j in sources[i]]] for i in ids]),
+                np.stack([ts[[row[j] for j in sources[i]]] for i in ids]),
+                ranges,
+                mesh=mesh,
+                num_iterations=cfg.num_iterations,
+                num_samples=cfg.num_refine_samples,
+                patch=cfg.patch_size,
+                ncc_threshold=cfg.ncc_confidence_threshold,
+                keys=keys_np[:V],
+            )
+            depth_all = jnp.asarray(out.depth)
+            conf_all = jnp.asarray(out.confidence)
+            return self._fuse_and_filter(
+                depth_all, conf_all, K, Rs, ts, small, row, ids,
+                t0, t_prep, V,
+            )
+
+        # ONE upload of the whole small gray stack; per-batch ref/source
+        # planes are device-side gathers (a per-batch float32 upload costs
+        # ~5x the bytes over the link and a transfer stall per batch).
+        grays_d = jnp.asarray(grays)
         batch_outs: List[DepthNormalMap] = []  # padded (views_per_batch, ...)
         real_rows: List[int] = []              # row in the concatenated stack
         for bi, b0 in enumerate(range(0, V, views_per_batch)):
@@ -465,12 +497,8 @@ class PatchMatchMVS:
             real_rows.extend(base + r for r in range(nB))
             batch_outs.append(out)
 
-        t_depth = time.time() - t0 - t_prep
-        # Fusion: back-project every confident pixel of every view in ONE
-        # vmapped call (reference _fuse_depth_maps :536-570 loops views).
         # Batch outputs concatenate + gather as TWO device ops — slicing the
         # per-view maps out individually would cost ~2 dispatches per view.
-        min_views = min(cfg.min_views, J)
         rows_j = jnp.asarray(np.asarray(real_rows, np.int32))
         depth_all = jnp.take(
             jnp.concatenate([o.depth for o in batch_outs], axis=0),
@@ -480,6 +508,21 @@ class PatchMatchMVS:
             jnp.concatenate([o.confidence for o in batch_outs], axis=0),
             rows_j, axis=0,
         )
+        return self._fuse_and_filter(
+            depth_all, conf_all, K, Rs, ts, small, row, ids, t0, t_prep, V
+        )
+
+    def _fuse_and_filter(
+        self, depth_all, conf_all, K, Rs, ts, small, row, ids, t0, t_prep, V
+    ):
+        """Fusion + filtering shared by the single-device and mesh paths:
+        back-project every confident pixel of every view in ONE vmapped call
+        (reference _fuse_depth_maps :536-570 loops views), compact on device,
+        then radius-filter + voxel-downsample."""
+        cfg = self.config
+        J = min(cfg.num_source_views, V - 1)
+        min_views = min(cfg.min_views, J)
+        t_depth = time.time() - t0 - t_prep
         fuse = jax.jit(
             jax.vmap(
                 lambda d, R, t, v: backproject_depth(

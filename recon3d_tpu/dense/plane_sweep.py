@@ -245,6 +245,7 @@ class PlaneSweepReconstructor:
         poses: Dict[int, Tuple[np.ndarray, np.ndarray]],
         sparse_points: Optional[np.ndarray] = None,
         max_ref_views: Optional[int] = None,
+        mesh=None,
     ):
         cfg = self.config
         t0 = time.time()
@@ -281,6 +282,15 @@ class PlaneSweepReconstructor:
         neighbors = self._neighbors(ids, poses, cfg.num_neighbors)
         ref_ids = [i for i in ref_ids if len(neighbors[i]) >= 1]
         J = min(cfg.num_neighbors, V - 1)
+        n_real_refs = len(ref_ids)
+        # Multi-chip: the ref-view axis shards over the mesh's 'data' axis
+        # (reference loops ref views serially on one GPU,
+        # dense_stereo.py:105-130); pad with repeats so it divides the mesh,
+        # padding rows are dropped before fusion below.
+        n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+        if n_data > 1 and n_real_refs:
+            pad_n = (-n_real_refs) % n_data
+            ref_ids = ref_ids + [ref_ids[-1]] * pad_n
 
         # All reference views sweep as ONE vmapped batch (the reference
         # loops them serially on one GPU, dense_stereo.py:105-130); this is
@@ -310,6 +320,18 @@ class PlaneSweepReconstructor:
         Kj = jnp.asarray(K, jnp.float32)
         drj = jnp.asarray(dr, jnp.float32)
 
+        if n_data > 1:
+            from recon3d_tpu.parallel.mesh import data_sharding, replicated
+
+            ref_g = jax.device_put(ref_g, data_sharding(mesh, ref_g.ndim, 0))
+            src_g = jax.device_put(src_g, data_sharding(mesh, src_g.ndim, 0))
+            R_refs = jax.device_put(R_refs, data_sharding(mesh, 3, 0))
+            t_refs = jax.device_put(t_refs, data_sharding(mesh, 2, 0))
+            R_srcs = jax.device_put(R_srcs, data_sharding(mesh, 4, 0))
+            t_srcs = jax.device_put(t_srcs, data_sharding(mesh, 3, 0))
+            Kj = jax.device_put(Kj, replicated(mesh))
+            drj = jax.device_put(drj, replicated(mesh))
+
         sweep_b = jax.jit(
             jax.vmap(
                 lambda rg, sg, Rr, tr, Rs_, ts_: sweep_depth_map(
@@ -324,6 +346,12 @@ class PlaneSweepReconstructor:
         depth_b, cnt_b, ncc_b = sweep_b(
             ref_g, src_g, R_refs, t_refs, R_srcs, t_srcs
         )
+        if len(ref_ids) != n_real_refs:  # drop mesh padding rows
+            ref_ids = ref_ids[:n_real_refs]
+            depth_b = depth_b[:n_real_refs]
+            cnt_b = cnt_b[:n_real_refs]
+            R_refs = R_refs[:n_real_refs]
+            t_refs = t_refs[:n_real_refs]
         # Fusion: back-project every consistent pixel of every reference
         # view in ONE vmapped dispatch (kept on device until a single
         # download) — a per-view loop costs a round-trip per depth map.

@@ -231,6 +231,7 @@ def match_pairs_batched(
     key: jax.Array,
     config: Optional[MatchConfig] = None,
     chunk: int = 64,
+    mesh=None,                # optional jax.sharding.Mesh: shard pair chunks
 ):
     """Host-facing batched pair matching: stacks the per-image features once
     and runs _match_verify_batch over pair chunks.
@@ -264,6 +265,21 @@ def match_pairs_batched(
     desc = features.desc[row, oj]
     valid = features.valid[row, oj].astype(jnp.float32)
     xy = features.xy[row, oj]
+    # Multi-chip: the pair axis of each chunk shards over the mesh's 'data'
+    # axis (features replicate); XLA partitions the vmapped match+RANSAC
+    # program so every chip verifies its own pair shard (SURVEY §7 step 11 —
+    # the reference's serial per-pair loop, sfm_pipeline.py:188-208).
+    n_data = mesh.shape["data"] if mesh is not None else 1
+    if n_data > 1:
+        from recon3d_tpu.parallel.mesh import data_sharding, replicated
+
+        chunk = max(chunk, n_data) // n_data * n_data
+        rep = replicated(mesh)
+        desc = jax.device_put(desc, rep)
+        valid = jax.device_put(valid, rep)
+        xy = jax.device_put(xy, rep)
+        pair_sh = data_sharding(mesh, 1, 0)
+        key_sh = data_sharding(mesh, 2, 0)
     # Dispatch every chunk asynchronously, keep outputs ON DEVICE, then pull
     # each field once: over a high-latency link, per-chunk synchronous
     # downloads dominate (e.g. 28 chunk round-trips for ~450 pairs); one
@@ -276,6 +292,10 @@ def match_pairs_batched(
         pi = jnp.asarray([p[0] for p in padded], jnp.int32)
         pj = jnp.asarray([p[1] for p in padded], jnp.int32)
         keys = jax.random.split(jax.random.fold_in(key, c0), chunk)
+        if n_data > 1:
+            pi = jax.device_put(pi, pair_sh)
+            pj = jax.device_put(pj, pair_sh)
+            keys = jax.device_put(keys, key_sh)
         res = _match_verify_batch(
             desc, valid, xy, pi, pj, keys,
             jnp.float32(cfg.ransac_threshold_px),

@@ -43,6 +43,21 @@ def make_mesh(
     return Mesh(arr, (config.data_axis, config.model_axis))
 
 
+def auto_mesh(min_devices: int = 2) -> Optional[Mesh]:
+    """Product-facing mesh discovery: a pure data-parallel mesh over every
+    available device when there is more than one, else None.
+
+    The CLI calls this so `--mvs`/`--stereo` per-view jobs and pair-matching
+    chunks shard across chips automatically (reference equivalents are the
+    serial loops at mvs_patchmatch.py:104-123 / sfm_pipeline.py:188-208);
+    single-chip hosts keep the plain jit path with zero mesh overhead.
+    """
+    devices = jax.devices()
+    if len(devices) < min_devices:
+        return None
+    return make_mesh(MeshConfig(model_parallel=1), devices=devices)
+
+
 def data_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:
     """Shard array axis `axis` over the data mesh axis, replicate the rest."""
     spec = [None] * ndim

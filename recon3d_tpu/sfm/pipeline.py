@@ -214,10 +214,14 @@ class SfMPipeline:
         fast_mode: bool = False,
         neural_mode: bool = False,
         config: Optional[ReconstructionConfig] = None,
+        mesh=None,
     ):
         self.config = config or (
             ReconstructionConfig.fast() if fast_mode else ReconstructionConfig()
         )
+        # optional jax.sharding.Mesh: pair-matching chunks shard over its
+        # 'data' axis (multi-chip hosts); None = single-device jit path
+        self.mesh = mesh
         self.camera: Optional[Camera] = (
             load_calibration(calibration_path) if calibration_path else None
         )
@@ -350,7 +354,7 @@ class SfMPipeline:
 
                 results = match_pairs_batched(
                     self.features_stacked, pairs, self._next_key(),
-                    self.config.match,
+                    self.config.match, mesh=self.mesh,
                 )
             for (i, j, idx1, idx2, F, n_inl, n_raw) in results:
                 if (

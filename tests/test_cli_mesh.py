@@ -1,0 +1,69 @@
+"""Multi-chip product wiring (VERDICT r1 #2): the CLI builds a mesh and the
+dense/matching stages shard over it, producing the same outputs as the
+single-device path (tested on the virtual 8-device CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from recon3d_tpu.cli import main
+from recon3d_tpu.io.ply import load_ply
+from tests.render import render_views
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("imgs")
+    scene = render_views(n_views=5, image_size=(128, 160), arc_step=0.15)
+    for i, img in enumerate(scene["images"]):
+        Image.fromarray((img * 255).astype(np.uint8)).save(d / f"im_{i:03d}.png")
+    return str(d)
+
+
+def test_match_pairs_batched_sharded_equals_single(rng):
+    from recon3d_tpu.config import MatchConfig
+    from recon3d_tpu.features.frontend import (
+        FeatureExtractor,
+        match_pairs_batched,
+    )
+    from recon3d_tpu.parallel.mesh import auto_mesh
+
+    mesh = auto_mesh()
+    assert mesh is not None and mesh.shape["data"] == 8
+
+    ex = FeatureExtractor()
+    scene = render_views(n_views=4, image_size=(96, 128), arc_step=0.2)
+    feats = ex.extract_batch(np.stack([
+        g.mean(-1) if g.ndim == 3 else g for g in scene["images"]
+    ]).astype(np.float32))
+    pairs = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    key = jax.random.PRNGKey(3)
+    single = match_pairs_batched(feats, pairs, key)
+    sharded = match_pairs_batched(feats, pairs, key, mesh=mesh)
+    assert len(single) == len(sharded)
+    for s, m in zip(single, sharded):
+        assert s[0] == m[0] and s[1] == m[1]
+        np.testing.assert_array_equal(s[2], m[2])  # inlier idx1
+        np.testing.assert_array_equal(s[3], m[3])  # inlier idx2
+        assert s[5] == m[5] and s[6] == m[6]       # n_inliers, n_raw
+
+
+@pytest.mark.slow
+def test_cli_dense_sharded_matches_single_device(image_dir, tmp_path):
+    """Full CLI with --mvs --stereo: the auto-mesh (8 CPU devices) run must
+    reproduce the forced single-device (--devices 1) run."""
+    out_m = tmp_path / "mesh"
+    out_s = tmp_path / "single"
+    base = [image_dir, "--mvs", "--stereo", "--seed", "1"]
+    assert main(base + ["--output", str(out_m)]) == 0
+    assert main(base + ["--output", str(out_s), "--devices", "1"]) == 0
+
+    for name in ("sparse.ply", "dense_mvs.ply", "dense_stereo.ply"):
+        pm, cm = load_ply(str(out_m / name))
+        ps, cs = load_ply(str(out_s / name))
+        assert len(pm) == len(ps), f"{name}: {len(pm)} vs {len(ps)} points"
+        np.testing.assert_allclose(pm, ps, atol=1e-3, err_msg=name)
+        np.testing.assert_array_equal(cm, cs)
