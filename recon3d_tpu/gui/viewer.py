@@ -96,6 +96,26 @@ def render_pointcloud(
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
+def orbit_drag(
+    azimuth_deg: float,
+    elevation_deg: float,
+    dx_px: float,
+    dy_px: float,
+    deg_per_px: float = 0.4,
+) -> Tuple[float, float]:
+    """New (azimuth, elevation) after a mouse drag of (dx, dy) pixels.
+
+    Horizontal drag orbits around the scene, vertical drag tilts; elevation
+    clamps short of the poles so the orbit camera's up-vector never
+    degenerates. This is the math behind ViewerTab's drag-to-orbit (the
+    reference gets it for free from pyqtgraph's GLViewWidget,
+    viewer.py:364-371).
+    """
+    az = (azimuth_deg + dx_px * deg_per_px) % 360.0
+    el = float(np.clip(elevation_deg + dy_px * deg_per_px, -89.0, 89.0))
+    return az, el
+
+
 def render_turntable(
     ply_path: str,
     out_prefix: str,
@@ -137,14 +157,19 @@ if HAS_QT:  # pragma: no cover - exercised only with a display
 
     class ViewerTab(QtWidgets.QWidget):
         """Interactive viewer: file browser + density/point-size sliders
-        rendering through render_pointcloud into a QLabel (reference
-        ViewerTab viewer.py:163-383)."""
+        rendering through render_pointcloud into a QLabel, with
+        drag-to-orbit on the canvas (reference ViewerTab viewer.py:163-383
+        — its GL view's mouse orbit maps to azimuth/elevation here)."""
+
+        ORBIT_DEG_PER_PX = 0.4  # drag sensitivity
 
         def __init__(self, parent=None):
             super().__init__(parent)
             self.points = np.zeros((0, 3), np.float32)
             self.colors = None
             self.azimuth = 30.0
+            self.elevation = 20.0
+            self._drag_from = None
             layout = QtWidgets.QVBoxLayout(self)
             row = QtWidgets.QHBoxLayout()
             self.open_btn = QtWidgets.QPushButton("Open PLY...")
@@ -167,6 +192,23 @@ if HAS_QT:  # pragma: no cover - exercised only with a display
             self.points, self.colors = load_ply(path)
             self._redraw()
 
+        def mousePressEvent(self, ev):
+            self._drag_from = (ev.x(), ev.y())
+
+        def mouseMoveEvent(self, ev):
+            if self._drag_from is None:
+                return
+            x0, y0 = self._drag_from
+            self.azimuth, self.elevation = orbit_drag(
+                self.azimuth, self.elevation,
+                ev.x() - x0, ev.y() - y0, self.ORBIT_DEG_PER_PX,
+            )
+            self._drag_from = (ev.x(), ev.y())
+            self._redraw()
+
+        def mouseReleaseEvent(self, ev):
+            self._drag_from = None
+
         def _open(self):
             path, _ = QtWidgets.QFileDialog.getOpenFileName(
                 self, "Open PLY", "", "PLY files (*.ply)"
@@ -184,7 +226,7 @@ if HAS_QT:  # pragma: no cover - exercised only with a display
             )
             img = render_pointcloud(
                 pts, cols, point_size=self.psize.value(),
-                azimuth_deg=self.azimuth,
+                azimuth_deg=self.azimuth, elevation_deg=self.elevation,
             )
             h, w = img.shape[:2]
             qimg = QtGui.QImage(

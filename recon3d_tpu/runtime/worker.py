@@ -40,7 +40,9 @@ def build_command(dataset: str, options: Dict) -> List[str]:
         args = ["recon3d_tpu.cli", dataset]
         if options.get("neural"):
             args.append("--neural")
-        if options.get("mvs"):
+        if options.get("combined"):
+            args.append("--combined")
+        elif options.get("mvs"):
             args.append("--mvs")
         elif options.get("stereo"):
             args.append("--stereo")
@@ -52,6 +54,8 @@ def build_command(dataset: str, options: Dict) -> List[str]:
             args.extend(["--max-images", str(options["max_images"])])
         if options.get("output"):
             args.extend(["--output", str(options["output"])])
+        if options.get("devices") is not None:
+            args.extend(["--devices", str(options["devices"])])
     return cmd + args
 
 
@@ -68,6 +72,22 @@ def sniff_status(line: str) -> Optional[str]:
         return "Step 4/4: Dense Reconstruction..."
     if "saved" in low and ".ply" in low:
         return "Saving results..."
+    return None
+
+
+def status_step(status: Optional[str]) -> Optional[int]:
+    """Progress-bar position (1-4) for a sniff_status string, or None.
+
+    The GUI's determinate 4-step bar (reference main_app.py progress bar +
+    worker.py:112-122 keyword steps) advances through this; "Saving
+    results..." maps to the final step.
+    """
+    if not status:
+        return None
+    if status.startswith("Step "):
+        return int(status[5])
+    if status.startswith("Saving"):
+        return 4
     return None
 
 

@@ -6,8 +6,13 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-from recon3d_tpu.gui.app import METHOD_PRESETS, find_result_file
+from recon3d_tpu.gui.app import (
+    METHOD_PRESETS,
+    collect_options,
+    find_result_file,
+)
 from recon3d_tpu.gui.viewer import (
+    orbit_drag,
     render_pointcloud,
     render_turntable,
     subsample_for_display,
@@ -17,6 +22,7 @@ from recon3d_tpu.runtime.worker import (
     ReconstructionWorker,
     build_command,
     sniff_status,
+    status_step,
 )
 from recon3d_tpu.tools.run_colmap import (
     QUALITY_SETTINGS,
@@ -39,6 +45,10 @@ def test_build_command_mapping():
     # mvs wins over stereo/dense, like the reference's elif chain
     cmd = build_command("/d", {"mvs": True, "stereo": True, "dense": True})
     assert "--mvs" in cmd and "--stereo" not in cmd and "--dense" not in cmd
+    # combined outranks everything; devices pass through
+    cmd = build_command("/d", {"combined": True, "mvs": True, "devices": 1})
+    assert "--combined" in cmd and "--mvs" not in cmd
+    assert cmd[cmd.index("--devices") + 1] == "1"
 
 
 def test_sniff_status_keywords():
@@ -46,6 +56,45 @@ def test_sniff_status_keywords():
     assert "2/4" in sniff_status("[sfm] matching 45 pairs")
     assert "4/4" in sniff_status("[patchmatch] 1234 points")
     assert sniff_status("unrelated line") is None
+
+
+def test_status_step_progression():
+    """The GUI's 4-step progress bar follows the sniffed statuses in order
+    (reference main_app.py progress bar semantics)."""
+    lines = [
+        "extracting features from 10 images",
+        "[sfm] matching 45 pairs",
+        "[sfm] registered image 3",
+        "[patchmatch] 1234 points",
+        "saved dense_mvs.ply",
+    ]
+    steps = [status_step(sniff_status(l)) for l in lines]
+    assert steps == [1, 2, 3, 4, 4]
+    assert status_step(None) is None and status_step("idle") is None
+
+
+def test_collect_options_widget_mapping():
+    """Headless core of the reference's widget->options mapping
+    (main_app.py:202-246)."""
+    o = collect_options({"method": "colmap_dense"}, quality="high",
+                        use_gpu=False, max_images=50, output="/o")
+    assert o["quality"] == "high" and o["use_gpu"] is False
+    assert "max_images" not in o and o["output"] == "/o"
+    o = collect_options({"neural": True, "mvs": True}, max_images=50)
+    assert o["max_images"] == 50 and "quality" not in o
+    # the reference's spinbox floor: <=5 means "all images"
+    o = collect_options({}, max_images=5)
+    assert "max_images" not in o
+
+
+def test_orbit_drag_math():
+    az, el = orbit_drag(30.0, 20.0, dx_px=100, dy_px=-50, deg_per_px=0.4)
+    assert az == pytest.approx(70.0) and el == pytest.approx(0.0)
+    # azimuth wraps, elevation clamps short of the poles
+    az, _ = orbit_drag(350.0, 0.0, dx_px=50, dy_px=0)
+    assert az == pytest.approx(10.0)
+    _, el = orbit_drag(0.0, 80.0, dx_px=0, dy_px=100)
+    assert el == 89.0
 
 
 def test_worker_runs_subprocess(tmp_path):
@@ -61,7 +110,8 @@ def test_worker_runs_subprocess(tmp_path):
 
 
 def test_method_presets_and_result_discovery(tmp_path):
-    assert len(METHOD_PRESETS) == 8  # reference main_app.py:79-86
+    # reference's eight presets (main_app.py:79-86) + the combined preset
+    assert len(METHOD_PRESETS) == 9
     assert find_result_file(str(tmp_path)) is None
     save_ply(str(tmp_path / "sparse.ply"), np.zeros((1, 3), np.float32))
     save_ply(str(tmp_path / "dense_mvs.ply"), np.zeros((1, 3), np.float32))
