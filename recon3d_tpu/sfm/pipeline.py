@@ -253,6 +253,13 @@ class SfMPipeline:
         self.point_colors: List[np.ndarray] = []
         self.observations: List[List[Tuple[int, int]]] = []
         self.kp_to_point: List[np.ndarray] = []
+        # Incremental 2D-3D correspondence index: for each UNregistered
+        # image, {kp -> point id} maintained as links are created (via
+        # _note_kp_link) instead of rebuilt from every match pair per wave
+        # (the reference rescans all pairs per candidate, :478-510 — O(V*E)
+        # per wave; this is amortized O(E) over the whole run).
+        self.corr: Dict[int, Dict[int, int]] = {}
+        self._kp_links: Dict[int, Dict[int, List[Tuple[int, int]]]] = {}
         self.stats: Dict = {}
 
     def _next_key(self):
@@ -371,8 +378,22 @@ class SfMPipeline:
         print(f"[sfm] matched {kept}/{len(pairs)} pairs "
               f"({time.time() - t0:.1f}s)")
         self._bridge_components(n)
+        self._build_kp_links()
         self.stats["match_time"] = time.time() - t0
         self.stats["num_pairs"] = kept
+
+    def _build_kp_links(self):
+        """Per-camera reverse match index: kp -> [(partner image, partner
+        kp)] over every kept match, powering the incremental correspondence
+        propagation in _note_kp_link."""
+        links: Dict[int, Dict[int, List[Tuple[int, int]]]] = {}
+        for (a, b), m in self.matches.items():
+            la = links.setdefault(a, {})
+            lb = links.setdefault(b, {})
+            for ka, kb in zip(m["idx1"].tolist(), m["idx2"].tolist()):
+                la.setdefault(ka, []).append((b, kb))
+                lb.setdefault(kb, []).append((a, ka))
+        self._kp_links = links
 
     def _components(self, n: int) -> List[Set[int]]:
         """Connected components of the match graph (reference :247-277)."""
@@ -486,27 +507,29 @@ class SfMPipeline:
         self.poses[i] = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
         self.poses[j] = (self._init_R.astype(np.float32), self._init_t.astype(np.float32))
         self.registered = {i, j}
+        self.corr.pop(i, None)
+        self.corr.pop(j, None)
         self._add_triangulated(i, j)
         print(f"[sfm] initialized with {len(self.points3d)} points")
 
     # -- stage 5: incremental loop -----------------------------------------------
 
+    def _note_kp_link(self, cam: int, kp: int, pid: int):
+        """Record that (cam, kp) now observes point pid, and propagate the
+        2D-3D correspondence to every unregistered match partner of that
+        keypoint. Every kp_to_point assignment goes through here, keeping
+        self.corr current without any per-wave rescan."""
+        self.kp_to_point[cam][kp] = pid
+        for (j, kpj) in self._kp_links.get(cam, {}).get(int(kp), ()):
+            if j not in self.registered:
+                self.corr.setdefault(j, {}).setdefault(kpj, pid)
+
     def _correspondences_2d3d(self, i: int):
-        """2D-3D correspondences for an unregistered image via matched,
-        already-triangulated keypoints in registered partners (ref :478-510)."""
-        kp_ids: Dict[int, int] = {}
-        for (a, b), m in self.matches.items():
-            if a == i and b in self.registered:
-                mine, theirs, cam = m["idx1"], m["idx2"], b
-            elif b == i and a in self.registered:
-                mine, theirs, cam = m["idx2"], m["idx1"], a
-            else:
-                continue
-            pts = self.kp_to_point[cam][theirs]
-            has = pts >= 0
-            for kp, pid in zip(mine[has], pts[has]):
-                kp_ids.setdefault(int(kp), int(pid))
-        return kp_ids
+        """2D-3D correspondences for an unregistered image: matched
+        keypoints whose registered-partner side has a 3D point (reference
+        rescans all pairs, :478-510; here it's the incrementally maintained
+        self.corr index)."""
+        return self.corr.get(i, {})
 
     def _corr_arrays(self, i: int):
         """(kps, pids) int64 arrays for image i, or None if too few."""
@@ -601,9 +624,10 @@ class SfMPipeline:
                     Rb[b, ti].astype(np.float32), tb[b, ti].astype(np.float32)
                 )
                 self.registered.add(i)
+                self.corr.pop(i, None)  # index only serves unregistered images
                 for kp, pid, good in zip(kps, pids, inl_b[b, ti][:n]):
                     if good and self.kp_to_point[i][kp] < 0:
-                        self.kp_to_point[i][kp] = pid
+                        self._note_kp_link(i, int(kp), int(pid))
                         self.observations[pid].append((i, int(kp)))
                 accepted.append(i)
                 break
@@ -653,7 +677,7 @@ class SfMPipeline:
             good = e < cfg.max_reproj_error_px
             for kp, pid in zip(kps[good], pids[good]):
                 if self.kp_to_point[to_cam][kp] < 0:
-                    self.kp_to_point[to_cam][kp] = pid
+                    self._note_kp_link(to_cam, int(kp), int(pid))
                     self.observations[pid].append((to_cam, int(kp)))
 
         _link(pa, b, kpb, (pa >= 0) & (pb < 0))
@@ -699,8 +723,8 @@ class SfMPipeline:
                 (color_img[v, u] * 255).astype(np.uint8)
             )
             self.observations.append([(a, int(ka[idx])), (b, int(kb[idx]))])
-            self.kp_to_point[a][ka[idx]] = pid
-            self.kp_to_point[b][kb[idx]] = pid
+            self._note_kp_link(a, int(ka[idx]), pid)
+            self._note_kp_link(b, int(kb[idx]), pid)
             created += 1
         return created
 
@@ -772,7 +796,7 @@ class SfMPipeline:
             for k in np.nonzero(e < cfg.max_reproj_error_px)[0]:
                 cam, kp, pid = link_cam[k], int(link_kp[k]), int(link_pid[k])
                 if self.kp_to_point[cam][kp] < 0:
-                    self.kp_to_point[cam][kp] = pid
+                    self._note_kp_link(cam, kp, pid)
                     self.observations[pid].append((cam, kp))
 
         # ---- phase 2: batched pairwise triangulation of fresh matches
@@ -829,8 +853,8 @@ class SfMPipeline:
                     (color_img[v, u] * 255).astype(np.uint8)
                 )
                 self.observations.append([(a, int(ka[idx])), (b, int(kb[idx]))])
-                self.kp_to_point[a][ka[idx]] = pid
-                self.kp_to_point[b][kb[idx]] = pid
+                self._note_kp_link(a, int(ka[idx]), pid)
+                self._note_kp_link(b, int(kb[idx]), pid)
                 total += 1
         return total
 
