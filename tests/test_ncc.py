@@ -1,17 +1,15 @@
-"""Fused Pallas NCC kernel vs the XLA box-filter formulation."""
+"""Windowed-NCC numerics (ops/ncc.py — the dense backends' inner op)."""
 
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
-from recon3d_tpu.ops.ncc import ncc_windowed_xla as _ncc_all
-from recon3d_tpu.ops.ncc import ncc_windowed_fused
+from recon3d_tpu.ops.ncc import ncc_windowed
 
 
 @pytest.mark.parametrize("patch", [5, 11])
-def test_pallas_ncc_matches_xla(patch):
+def test_ncc_windowed_semantics(patch):
     rng = np.random.default_rng(0)
     H, W, J = 48, 64, 3
     ref = rng.random((H, W)).astype(np.float32)
@@ -19,16 +17,31 @@ def test_pallas_ncc_matches_xla(patch):
                     for s in (0.01, 0.2, 1.0)])
     ok = rng.random((J, H, W)) > 0.1
 
-    want = np.asarray(_ncc_all(jnp.asarray(ref), jnp.asarray(src),
-                               jnp.asarray(ok), patch))
     got = np.asarray(
-        ncc_windowed_fused(
-            jnp.asarray(ref), jnp.asarray(src), jnp.asarray(ok),
-            patch=patch, interpret=True,  # CPU test env
-        )
+        ncc_windowed(jnp.asarray(ref), jnp.asarray(src), jnp.asarray(ok),
+                     patch)
     )
     assert got.shape == (J, H, W)
-    np.testing.assert_allclose(got, want, atol=2e-4)
-    # correlated source scores higher than noise
+    # range and invalid-sample semantics
+    assert (got >= -1.0 - 1e-5).all() and (got <= 1.0 + 1e-5).all()
+    np.testing.assert_array_equal(got[~ok], -1.0)
+    # an identical (up to tiny noise) source correlates near 1 away from
+    # masked holes; heavy noise scores clearly lower
     m = ok.all(0)
+    assert np.median(got[0][m]) > 0.9
     assert np.median(got[0][m]) > np.median(got[2][m])
+
+    # exact-window check against a direct (slow) masked-NCC at one pixel
+    r = patch // 2
+    y, x = H // 2, W // 2
+    pr = ref[y - r : y + r + 1, x - r : x + r + 1].ravel()
+    ps = src[1, y - r : y + r + 1, x - r : x + r + 1].ravel()
+    w = ok[1, y - r : y + r + 1, x - r : x + r + 1].ravel().astype(np.float64)
+    sw = w.sum()
+    mr, ms = (pr * w).sum() / sw, (ps * w).sum() / sw
+    cov = (pr * ps * w).sum() / sw - mr * ms
+    vr = (pr * pr * w).sum() / sw - mr * mr
+    vs = (ps * ps * w).sum() / sw - ms * ms
+    want = np.clip(cov / np.sqrt(max(vr * vs, 1e-8)), -1, 1)
+    if ok[1, y, x]:
+        np.testing.assert_allclose(got[1, y, x], want, atol=1e-3)
