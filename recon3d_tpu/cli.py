@@ -165,7 +165,8 @@ def main(argv=None) -> int:
                 with timer.stage("patchmatch_mvs"):
                     rec = PatchMatchMVS(camera, cfg.patchmatch)
                     dp, dc = rec.reconstruct(
-                        images, poses, sparse_points=points, mesh=mesh
+                        images, poses, sparse_points=points, mesh=mesh,
+                        checkpointer=ckpt,
                     )
                 if len(dp):
                     save_ply(str(output_dir / "dense_mvs.ply"), dp, dc)

@@ -374,6 +374,7 @@ class PatchMatchMVS:
         sparse_points: Optional[np.ndarray] = None,
         views_per_batch: int = 4,
         mesh=None,
+        checkpointer=None,
     ):
         cfg = self.config
         t0 = time.time()
@@ -429,50 +430,117 @@ class PatchMatchMVS:
             jax.random.split(key, n_batches * views_per_batch)
         )
 
-        if mesh is not None and mesh.shape.get("data", 1) > 1:
-            # Multi-chip: ALL view jobs shard over the mesh's 'data' axis in
-            # one call (the reference loops views serially on one GPU,
-            # mvs_patchmatch.py:104-123). Per-view keys are the same stream
-            # as the single-device batches below (view v -> keys_np[v]), so
-            # both paths produce identical depth maps.
+        # Per-view depth checkpoints (VERDICT r1 #10): positions whose maps
+        # are already on disk load instead of recompute; per-view keys are
+        # pinned to the view's position so a resumed run reproduces the
+        # uncheckpointed maps exactly.
+        loaded: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        if checkpointer is not None:
+            for v, i in enumerate(ids):
+                dc = checkpointer.load_depth(i)
+                if dc is not None:
+                    loaded[v] = dc
+            if loaded:
+                print(f"[patchmatch] resumed {len(loaded)}/{V} "
+                      "depth maps from checkpoint")
+        todo = [v for v in range(V) if v not in loaded]
+
+        use_mesh = mesh is not None and mesh.shape.get("data", 1) > 1
+        if todo and not use_mesh and checkpointer is None:
+            # Fast path (no checkpointing): outputs stay ON DEVICE through
+            # fusion — concatenate + gather as TWO device ops (a per-view
+            # host pull costs a round-trip per depth map).
+            batch_outs: List[DepthNormalMap] = []
+            real_rows: List[int] = []
+            for pos, out in self._depth_batches(
+                todo, ids, grays, sources, Rs, ts, ranges, K, keys_np,
+                row, views_per_batch,
+            ):
+                base = len(batch_outs) * views_per_batch
+                real_rows.extend(base + r for r in range(len(pos)))
+                batch_outs.append(out)
+            rows_j = jnp.asarray(np.asarray(real_rows, np.int32))
+            depth_all = jnp.take(
+                jnp.concatenate([o.depth for o in batch_outs], axis=0),
+                rows_j, axis=0,
+            )
+            conf_all = jnp.take(
+                jnp.concatenate([o.confidence for o in batch_outs], axis=0),
+                rows_j, axis=0,
+            )
+            return self._fuse_and_filter(
+                depth_all, conf_all, K, Rs, ts, small, row, ids, t0, t_prep, V
+            )
+
+        computed: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        if todo and use_mesh:
+            # Multi-chip: ALL pending view jobs shard over the mesh's 'data'
+            # axis in one call (the reference loops views serially on one
+            # GPU, mvs_patchmatch.py:104-123).
             from recon3d_tpu.dense.distributed import distributed_patchmatch
 
+            tids = [ids[v] for v in todo]
             out = distributed_patchmatch(
-                grays,
-                np.stack([grays[[row[j] for j in sources[i]]] for i in ids]),
+                grays[todo],
+                np.stack([grays[[row[j] for j in sources[i]]] for i in tids]),
                 K,
-                Rs, ts,
-                np.stack([Rs[[row[j] for j in sources[i]]] for i in ids]),
-                np.stack([ts[[row[j] for j in sources[i]]] for i in ids]),
-                ranges,
+                Rs[todo], ts[todo],
+                np.stack([Rs[[row[j] for j in sources[i]]] for i in tids]),
+                np.stack([ts[[row[j] for j in sources[i]]] for i in tids]),
+                ranges[todo],
                 mesh=mesh,
                 num_iterations=cfg.num_iterations,
                 num_samples=cfg.num_refine_samples,
                 patch=cfg.patch_size,
                 ncc_threshold=cfg.ncc_confidence_threshold,
-                keys=keys_np[:V],
+                keys=keys_np[todo],
             )
-            depth_all = jnp.asarray(out.depth)
-            conf_all = jnp.asarray(out.confidence)
-            return self._fuse_and_filter(
-                depth_all, conf_all, K, Rs, ts, small, row, ids,
-                t0, t_prep, V,
-            )
+            d_np, c_np = np.asarray(out.depth), np.asarray(out.confidence)
+            computed = {v: (d_np[k], c_np[k]) for k, v in enumerate(todo)}
+        elif todo:
+            # Single-device with checkpointing: pull each batch to host so
+            # every finished view persists before the next batch runs.
+            for pos, out in self._depth_batches(
+                todo, ids, grays, sources, Rs, ts, ranges, K, keys_np,
+                row, views_per_batch,
+            ):
+                d_np = np.asarray(out.depth)
+                c_np = np.asarray(out.confidence)
+                for r, v in enumerate(pos):
+                    computed[v] = (d_np[r], c_np[r])
+                    if checkpointer is not None:
+                        checkpointer.save_depth(ids[v], d_np[r], c_np[r])
 
-        # ONE upload of the whole small gray stack; per-batch ref/source
-        # planes are device-side gathers (a per-batch float32 upload costs
-        # ~5x the bytes over the link and a transfer stall per batch).
+        if checkpointer is not None and use_mesh:
+            for v, (d, c) in computed.items():
+                checkpointer.save_depth(ids[v], d, c)
+
+        maps = {**loaded, **computed}
+        depth_all = jnp.asarray(np.stack([maps[v][0] for v in range(V)]))
+        conf_all = jnp.asarray(np.stack([maps[v][1] for v in range(V)]))
+        return self._fuse_and_filter(
+            depth_all, conf_all, K, Rs, ts, small, row, ids, t0, t_prep, V
+        )
+
+    def _depth_batches(
+        self, positions, ids, grays, sources, Rs, ts, ranges, K, keys_np,
+        row, views_per_batch,
+    ):
+        """Yield (real_positions, padded DepthNormalMap) per view batch.
+
+        ONE upload of the whole small gray stack; per-batch ref/source
+        planes are device-side gathers (a per-batch float32 upload costs
+        ~5x the bytes over the link and a transfer stall per batch). Each
+        view's PRNG key is keys_np[its position in ids], so any subset of
+        positions (checkpoint resume) reproduces a full run's maps.
+        """
+        cfg = self.config
         grays_d = jnp.asarray(grays)
-        batch_outs: List[DepthNormalMap] = []  # padded (views_per_batch, ...)
-        real_rows: List[int] = []              # row in the concatenated stack
-        for bi, b0 in enumerate(range(0, V, views_per_batch)):
-            batch = ids[b0 : b0 + views_per_batch]
-            nB = len(batch)
-            pad = views_per_batch - nB
-            bid = batch + [batch[-1]] * pad  # pad batch to static size
-            ref_g = jnp.take(
-                grays_d, jnp.asarray([row[i] for i in bid]), axis=0
-            )
+        for b0 in range(0, len(positions), views_per_batch):
+            pos = positions[b0 : b0 + views_per_batch]
+            padp = pos + [pos[-1]] * (views_per_batch - len(pos))
+            bid = [ids[v] for v in padp]
+            ref_g = jnp.take(grays_d, jnp.asarray(padp), axis=0)
             src_g = jnp.take(
                 grays_d,
                 jnp.asarray([[row[j] for j in sources[i]] for i in bid]),
@@ -480,37 +548,17 @@ class PatchMatchMVS:
             )
             out = patchmatch_depth_batch(
                 ref_g, src_g, jnp.asarray(K),
-                jnp.asarray(Rs[[row[i] for i in bid]]),
-                jnp.asarray(ts[[row[i] for i in bid]]),
+                jnp.asarray(Rs[padp]), jnp.asarray(ts[padp]),
                 jnp.asarray(np.stack([Rs[[row[j] for j in sources[i]]] for i in bid])),
                 jnp.asarray(np.stack([ts[[row[j] for j in sources[i]]] for i in bid])),
-                jnp.asarray(ranges[[row[i] for i in bid]]),
-                jnp.asarray(
-                    keys_np[bi * views_per_batch : (bi + 1) * views_per_batch]
-                ),
+                jnp.asarray(ranges[padp]),
+                jnp.asarray(keys_np[padp]),
                 num_iterations=cfg.num_iterations,
                 num_samples=cfg.num_refine_samples,
                 patch=cfg.patch_size,
                 ncc_threshold=cfg.ncc_confidence_threshold,
             )
-            base = len(batch_outs) * views_per_batch
-            real_rows.extend(base + r for r in range(nB))
-            batch_outs.append(out)
-
-        # Batch outputs concatenate + gather as TWO device ops — slicing the
-        # per-view maps out individually would cost ~2 dispatches per view.
-        rows_j = jnp.asarray(np.asarray(real_rows, np.int32))
-        depth_all = jnp.take(
-            jnp.concatenate([o.depth for o in batch_outs], axis=0),
-            rows_j, axis=0,
-        )
-        conf_all = jnp.take(
-            jnp.concatenate([o.confidence for o in batch_outs], axis=0),
-            rows_j, axis=0,
-        )
-        return self._fuse_and_filter(
-            depth_all, conf_all, K, Rs, ts, small, row, ids, t0, t_prep, V
-        )
+            yield pos, out
 
     def _fuse_and_filter(
         self, depth_all, conf_all, K, Rs, ts, small, row, ids, t0, t_prep, V

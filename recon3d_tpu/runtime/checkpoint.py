@@ -16,6 +16,7 @@ from typing import Optional
 import numpy as np
 
 SPARSE_NAME = "sparse_state.npz"
+DEPTH_DIR = "depth_maps"
 
 
 def _atomic_savez(path: str, **arrays):
@@ -74,6 +75,32 @@ class StageCheckpointer:
             colors=colors,
             failed=np.asarray(sorted(pipeline.failed), np.int64),
         )
+
+    # -- per-view dense depth maps (VERDICT r1 #10) -----------------------
+    #
+    # The MVS stage is ~1/3 of end-to-end time; checkpointing each view's
+    # depth/confidence map lets a crashed dense run resume with only the
+    # unfinished views recomputed (the reference restarts from zero).
+
+    def depth_path(self, view_id: int) -> str:
+        return os.path.join(
+            self.directory, DEPTH_DIR, f"depth_{int(view_id):04d}.npz"
+        )
+
+    def save_depth(self, view_id: int, depth, confidence) -> None:
+        _atomic_savez(
+            self.depth_path(view_id),
+            depth=np.asarray(depth, np.float32),
+            confidence=np.asarray(confidence, np.float32),
+        )
+
+    def load_depth(self, view_id: int):
+        """(depth, confidence) for a checkpointed view, or None."""
+        path = self.depth_path(view_id)
+        if not os.path.exists(path):
+            return None
+        data = np.load(path)
+        return data["depth"], data["confidence"]
 
     def restore_sparse(self, pipeline) -> bool:
         """Load a saved sparse state into the pipeline. Returns False if no
