@@ -26,6 +26,66 @@ import time
 import numpy as np
 
 
+def pseudo_label_images(
+    score_fn,
+    params,
+    images,
+    rng,
+    hw,
+    n_homo: int = 6,
+    max_corners: int = 60,
+    threshold: float = 0.01,
+):
+    """Homographic-adaptation pseudo-labels for unlabeled images.
+
+    The classic MagicPoint->SuperPoint step: score each image under
+    `n_homo` random homographies (one batched device dispatch for the whole
+    stack), unwarp the score maps to the original frame, average, and keep
+    the stable local maxima as corner labels. Labels sharpen as the model
+    improves because each round re-labels with the current params.
+
+    Returns a list of (N_i, 2) float32 corner arrays, one per image.
+    """
+    import numpy as _np
+
+    import jax.numpy as jnp
+    from scipy.ndimage import maximum_filter
+
+    from recon3d_tpu.neural.synthetic import random_homography, warp_image
+
+    B = len(images)
+    stack, homos = [], []
+    for im in images:
+        stack.append(im)
+        homos.append(None)  # identity view
+        for _ in range(n_homo - 1):
+            Hm = random_homography(rng, hw)
+            stack.append(warp_image(im, Hm))
+            homos.append(Hm)
+    smaps = _np.asarray(
+        score_fn(params, jnp.asarray(_np.stack(stack))[..., None])
+    )
+    labels = []
+    for b in range(B):
+        acc = smaps[b * n_homo].astype(_np.float64).copy()
+        cnt = _np.ones(hw)
+        for k in range(1, n_homo):
+            Hm = homos[b * n_homo + k]
+            Hinv = _np.linalg.inv(Hm)
+            acc += warp_image(smaps[b * n_homo + k], Hinv)
+            cnt += warp_image(_np.ones(hw, _np.float32), Hinv)
+        avg = acc / _np.maximum(cnt, 1e-6)
+        mx = maximum_filter(avg, size=5)
+        cand = (avg >= mx) & (avg > threshold)
+        ys, xs = _np.nonzero(cand)
+        vals = avg[ys, xs]
+        order = _np.argsort(-vals)[:max_corners]
+        labels.append(
+            _np.stack([xs[order], ys[order]], -1).astype(_np.float32)
+        )
+    return labels
+
+
 def train(
     steps: int = 3000,
     batch: int = 32,
@@ -36,6 +96,8 @@ def train(
     desc_weight: float = 1.0,
     batches_per_round: int = 12,
     epochs_per_round: int = 16,
+    adapt_steps: int = 0,
+    texture_frac: float = 0.5,
 ):
     """Round-based training: each round generates `batches_per_round` fresh
     compact batches on the host, uploads them once, and runs
@@ -64,7 +126,7 @@ def train(
     # softmax saturates with a fixed 1e-3 on this small corpus.
     sched = optax.warmup_cosine_decay_schedule(
         0.0, lr, warmup_steps=min(100, steps // 10 + 1),
-        decay_steps=max(steps, 2), end_value=lr * 0.05,
+        decay_steps=max(steps + adapt_steps, 2), end_value=lr * 0.05,
     )
     tx = optax.adam(sched)
     state = TrainState(
@@ -98,6 +160,45 @@ def train(
                 f"{done / (time.time() - t0):.2f} steps/s",
                 flush=True,
             )
+
+        # -- homographic-adaptation phase: mix pseudo-labeled value-noise
+        # textures into the corpus (the shapes corpus has no photometric
+        # texture, which is what real images are mostly made of — see
+        # docs/neural_quality.md for the measured generalization gap).
+        if adapt_steps:
+            from recon3d_tpu.neural.superpoint import scores_from_logits
+            from recon3d_tpu.neural.synthetic import render_texture
+
+            score_fn = jax.jit(
+                lambda p, x: scores_from_logits(model.apply(p, x)[0])
+            )
+            done_a = 0
+            while done_a < adapt_steps:
+                data = []
+                for _ in range(batches_per_round):
+                    if rng.uniform() < texture_frac:
+                        imgs = [render_texture(rng, hw) for _ in range(batch)]
+                        corners = pseudo_label_images(
+                            score_fn, state.params, imgs, rng, hw
+                        )
+                        queue = list(zip(imgs, corners))
+                        data.append(make_pair_batch_compact(
+                            rng, batch, hw, sampler=lambda r: queue.pop()
+                        ))
+                    else:
+                        data.append(make_pair_batch_compact(rng, batch, hw))
+                stacked = {
+                    k: jnp.asarray(np.stack([d[k] for d in data]))
+                    for k in data[0]
+                }
+                state, losses = run(state, stacked)
+                done_a += steps_per_round
+                l, det, dsc = np.asarray(losses[-1])
+                print(
+                    f"[pretrain-adapt] step {done_a}/{adapt_steps} "
+                    f"loss {l:.4f} (det {det:.4f} desc {dsc:.4f})",
+                    flush=True,
+                )
     if out:
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
         save_params_npz(jax.device_get(state.params), out)
@@ -117,6 +218,7 @@ def train_lightglue(
     epochs_per_round: int = 8,
     gt_radius_px: float = 3.0,
     detection_threshold: float = 2e-5,
+    texture_frac: float = 0.0,
 ):
     """Train LightGlue on synthetic homography pairs with features from the
     frozen bundled SuperPoint.
@@ -193,7 +295,16 @@ def train_lightglue(
             n_pairs = batches_per_round * batch
             imgs_a, imgs_b, Hs = [], [], []
             for _ in range(n_pairs):
-                im, _ = render_shapes(rng, hw)
+                # texture_frac of the pairs are value-noise textures — no
+                # corner labels needed here (GT assignments come from the
+                # homography over *detected* keypoints), so the matcher
+                # trains directly on photometric-texture keypoint layouts.
+                if rng.uniform() < texture_frac:
+                    from recon3d_tpu.neural.synthetic import render_texture
+
+                    im = render_texture(rng, hw)
+                else:
+                    im, _ = render_shapes(rng, hw)
                 Hm = random_homography(rng, hw)
                 imgs_a.append(im)
                 imgs_b.append(warp_image(im, Hm))
@@ -266,6 +377,12 @@ def main(argv=None):
     p.add_argument("--desc-weight", type=float, default=1.0)
     p.add_argument("--batches-per-round", type=int, default=12)
     p.add_argument("--epochs-per-round", type=int, default=16)
+    p.add_argument("--adapt-steps", type=int, default=0,
+                   help="homographic-adaptation steps on pseudo-labeled "
+                   "value-noise textures after the shapes phase (superpoint)")
+    p.add_argument("--texture-frac", type=float, default=0.5,
+                   help="fraction of adaptation batches (superpoint) / "
+                   "training pairs (lightglue) drawn from textures")
     p.add_argument(
         "--out",
         default=os.path.join(
@@ -284,6 +401,7 @@ def main(argv=None):
             lr=a.lr if a.lr != 1e-3 else 2e-4, seed=a.seed, out=out,
             batches_per_round=a.batches_per_round,
             epochs_per_round=a.epochs_per_round,
+            texture_frac=a.texture_frac,
         )
     else:
         train(
@@ -291,6 +409,7 @@ def main(argv=None):
             seed=a.seed, out=a.out, desc_weight=a.desc_weight,
             batches_per_round=a.batches_per_round,
             epochs_per_round=a.epochs_per_round,
+            adapt_steps=a.adapt_steps, texture_frac=a.texture_frac,
         )
 
 

@@ -193,6 +193,51 @@ def render_shapes(
 # labels + homographies
 # ---------------------------------------------------------------------------
 
+def render_texture(
+    rng: np.random.Generator, hw: Tuple[int, int] = (128, 128),
+    octaves: int = 6,
+) -> np.ndarray:
+    """Multi-octave value-noise texture image (H, W) float32 in [0, 1].
+
+    The photometric-texture half of the training corpus: smooth correlated
+    noise like natural surface texture, with no analytic corner labels —
+    labels come from homographic-adaptation pseudo-labeling
+    (pretrain.pseudo_label_images). Closing the gap between the shapes
+    corpus and photographic imagery is what lifts repeatability on real
+    textures (docs/neural_quality.md).
+    """
+    H, W = hw
+    out = np.zeros((H, W))
+    amp = 1.0
+    for octv in range(octaves):
+        res = 3 * 2**octv
+        grid = rng.random((res + 1, res + 1))
+        y = np.linspace(0, res, H, endpoint=False)
+        x = np.linspace(0, res, W, endpoint=False)
+        y0 = np.floor(y).astype(int)
+        x0 = np.floor(x).astype(int)
+        fy = (y - y0)[:, None]
+        fx = (x - x0)[None, :]
+        fy = fy * fy * (3 - 2 * fy)
+        fx = fx * fx * (3 - 2 * fx)
+        val = (
+            grid[np.ix_(y0, x0)] * (1 - fx) * (1 - fy)
+            + grid[np.ix_(y0, x0 + 1)] * fx * (1 - fy)
+            + grid[np.ix_(y0 + 1, x0)] * (1 - fx) * fy
+            + grid[np.ix_(y0 + 1, x0 + 1)] * fx * fy
+        )
+        out += amp * val
+        amp *= rng.uniform(0.45, 0.65)
+    out = (out - out.min()) / (out.max() - out.min() + 1e-9)
+    # random contrast/brightness + sensor noise, like render_shapes
+    out = np.clip(
+        rng.uniform(0.6, 1.3) * (out - 0.5) + rng.uniform(0.3, 0.7)
+        + rng.normal(0, 0.02, out.shape),
+        0, 1,
+    )
+    return out.astype(np.float32)
+
+
 def cells_from_corners(corners: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
     """Corner pixels -> (H/8, W/8) int32 cell labels in [0, 64]."""
     H, W = hw
@@ -300,18 +345,21 @@ def make_detector_batch(rng, batch: int, hw=(128, 128)):
     return np.stack(imgs), np.stack(labs)
 
 
-def make_pair_batch_compact(rng, batch: int, hw=(128, 128)):
+def make_pair_batch_compact(rng, batch: int, hw=(128, 128), sampler=None):
     """Transfer-minimal pair batch: uint8 images + int8 cell labels.
 
     ~5x fewer bytes over the host->device link than make_pair_batch
     (float32 images + one-hot labels); the train step decodes on device.
     Keys: img_a, img_b (B, H, W, 1) uint8; cells_a, cells_b (B, Hc, Wc)
     int8 in [0, 64]; corr_idx (B, Hc*Wc) int32; corr_valid (B, Hc*Wc) bool.
+
+    `sampler(rng) -> (image, corners)` overrides the shapes corpus (e.g.
+    pseudo-labeled textures in the homographic-adaptation phase).
     """
     ia, ib, la, lb, ci, cv = [], [], [], [], [], []
     H, W = hw
     for _ in range(batch):
-        im, cs = render_shapes(rng, hw)
+        im, cs = sampler(rng) if sampler else render_shapes(rng, hw)
         Hm = random_homography(rng, hw)
         imb = warp_image(im, Hm)
         csb = warp_points(Hm, cs)

@@ -1,0 +1,178 @@
+"""Per-stage throughput benchmarks (round-over-round regression tracking).
+
+bench.py prints the single north-star JSON line (PatchMatch MP/s/chip) for
+the driver; this tool measures every hot stage so regressions are visible
+per component (VERDICT r1 #5):
+
+- sift_extract_ms_per_image   batched SIFT on 480x640 frames
+- match_pairs_per_s           streaming matcher + F-RANSAC verified pairs
+- plane_sweep_mp_s            64-plane sweep depth-map pixels/s
+- patchmatch_mp_s             bench.py's metric, same config
+
+Prints one JSON line per metric; --md writes a markdown table.
+
+Usage: python scripts/bench_stages.py [--md docs/bench_stages.md]
+                                      [--platform cpu] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _steady(fn, block, windows=3, reps=4):
+    """Best-window steady-state seconds per call (compile excluded)."""
+    block(fn())  # warm-up / compile
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(reps)]
+        block(outs)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def bench_sift(quick=False):
+    import jax
+
+    from recon3d_tpu.features.frontend import FeatureExtractor
+
+    B = 4 if quick else 8
+    rng = np.random.default_rng(0)
+    imgs = rng.random((B, 480, 640), np.float32)
+    ex = FeatureExtractor()
+    dt = _steady(lambda: ex.extract_batch(imgs), jax.block_until_ready)
+    return {"metric": "sift_extract", "value": round(dt / B * 1e3, 2),
+            "unit": "ms/image"}
+
+
+def bench_match(quick=False):
+    import jax
+
+    from recon3d_tpu.features.frontend import (
+        FeatureExtractor,
+        match_pairs_batched,
+    )
+    from tests.render import render_views
+
+    n = 6 if quick else 10
+    scene = render_views(n_views=n, image_size=(480, 640), arc_step=0.08)
+    grays = np.stack([im.mean(-1) for im in scene["images"]]).astype(np.float32)
+    ex = FeatureExtractor()
+    feats = ex.extract_batch(grays)
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+
+    def run():
+        return match_pairs_batched(
+            feats, pairs, jax.random.PRNGKey(0), chunk=len(pairs)
+        )
+
+    run()  # compile
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        run()
+    dt = (time.perf_counter() - t0) / reps
+    return {"metric": "match_verify", "value": round(len(pairs) / dt, 1),
+            "unit": "pairs/s"}
+
+
+def bench_plane_sweep(quick=False):
+    import jax
+    import jax.numpy as jnp
+
+    from recon3d_tpu.dense.plane_sweep import sweep_depth_map
+
+    rng = np.random.default_rng(0)
+    Hs, Ws, J = 120, 160, 5
+    K = np.array([[125.0, 0, Ws / 2], [0, 125.0, Hs / 2], [0, 0, 1]], np.float32)
+    ref = jnp.asarray(rng.random((Hs, Ws), np.float32))
+    srcs = jnp.asarray(rng.random((J, Hs, Ws), np.float32))
+    Rr = jnp.eye(3)
+    tr = jnp.zeros(3)
+    Rsrc = jnp.broadcast_to(jnp.eye(3), (J, 3, 3))
+    tsrc = jnp.asarray(
+        np.stack([np.array([0.3 * (i + 1), 0, 0], np.float32) for i in range(J)])
+    )
+    dr = jnp.asarray([0.5, 10.0], jnp.float32)
+
+    fn = jax.jit(
+        lambda: sweep_depth_map(ref, srcs, jnp.asarray(K), Rr, tr, Rsrc, tsrc, dr)
+    )
+    dt = _steady(fn, jax.block_until_ready)
+    return {"metric": "plane_sweep", "value": round(Hs * Ws / 1e6 / dt, 2),
+            "unit": "MP/s"}
+
+
+def bench_patchmatch(quick=False):
+    import bench
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench.main()
+    row = json.loads(buf.getvalue().strip().splitlines()[-1])
+    return {"metric": "patchmatch_mvs", "value": row["value"],
+            "unit": row["unit"], "vs_baseline": row.get("vs_baseline")}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--md", type=str, default=None)
+    ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip", nargs="*", default=[],
+                    choices=["sift", "match", "sweep", "patchmatch"])
+    args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    benches = [
+        ("sift", bench_sift),
+        ("match", bench_match),
+        ("sweep", bench_plane_sweep),
+        ("patchmatch", bench_patchmatch),
+    ]
+    rows = []
+    for name, fn in benches:
+        if name in args.skip:
+            continue
+        row = fn(quick=args.quick)
+        rows.append(row)
+        print(json.dumps(row))
+
+    if args.md:
+        import jax
+
+        lines = [
+            "# Per-stage benchmarks",
+            "",
+            f"Platform `{jax.default_backend()}`, steady-state (compile "
+            "excluded, best window). Regenerate with scripts/bench_stages.py.",
+            "",
+            "| stage | value | unit |",
+            "|---|---|---|",
+        ]
+        for r in rows:
+            lines.append(f"| {r['metric']} | {r['value']} | {r['unit']} |")
+        lines += ["", f"Generated {time.strftime('%Y-%m-%d')}.", ""]
+        Path(args.md).write_text("\n".join(lines))
+        print(f"wrote {args.md}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
