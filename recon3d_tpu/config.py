@@ -67,6 +67,12 @@ class NeuralConfig:
     # calibrated sharper, so 0.01 recovers NN-level match counts at higher
     # precision.
     lightglue_match_threshold: float = 0.01
+    # Per-pair robustness: when the attention matcher abstains on a hard
+    # pair (wide baseline / sparse keypoints can yield near-zero LightGlue
+    # matches while plain descriptor NN still finds a consensus set), fall
+    # back to mutual-NN matching for that pair and keep whichever survives
+    # F-RANSAC with more inliers.
+    lightglue_nn_fallback: bool = True
 
 
 @dataclass(frozen=True)

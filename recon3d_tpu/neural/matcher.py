@@ -90,11 +90,17 @@ class NeuralMatcher:
             jnp.ones(k, bool),
         )
         if self.config.superpoint_weights:
-            from recon3d_tpu.neural.weights import load_superpoint_torch
+            sp_path = self.config.superpoint_weights
+            if sp_path.endswith(".npz"):
+                from recon3d_tpu.neural.weights import load_params_npz
 
-            self._sp_params = load_superpoint_torch(
-                self.config.superpoint_weights, self._sp_params
-            )
+                self._sp_params = load_params_npz(sp_path, self._sp_params)
+            else:
+                from recon3d_tpu.neural.weights import load_superpoint_torch
+
+                self._sp_params = load_superpoint_torch(
+                    sp_path, self._sp_params
+                )
         else:
             bundled = os.path.join(
                 os.path.dirname(__file__), "pretrained",
@@ -110,11 +116,17 @@ class NeuralMatcher:
                     # bundled default-shape checkpoint does not apply
                     pass
         if self.config.lightglue_weights:
-            from recon3d_tpu.neural.weights import load_lightglue_torch
+            lg_path = self.config.lightglue_weights
+            if lg_path.endswith(".npz"):
+                from recon3d_tpu.neural.weights import load_params_npz
 
-            self._lg_params = load_lightglue_torch(
-                self.config.lightglue_weights, self._lg_params
-            )
+                self._lg_params = load_params_npz(lg_path, self._lg_params)
+            else:
+                from recon3d_tpu.neural.weights import load_lightglue_torch
+
+                self._lg_params = load_lightglue_torch(
+                    lg_path, self._lg_params
+                )
         elif os.path.exists(self._bundled_lg):
             from recon3d_tpu.neural.weights import load_params_npz
 
@@ -215,21 +227,48 @@ class NeuralMatcher:
                              key: jax.Array, min_matches: Optional[int] = None):
         """LightGlue matches + fundamental RANSAC (neural_matcher.py:149-205)."""
         min_matches = min_matches or self.match_config.min_matches
-        m = self.match(f1, f2)
-        x1 = jnp.where(m.mask[:, None], f1.xy, 0.0)
-        x2 = jnp.where(m.mask[:, None], f2.xy[jnp.clip(m.idx2, 0, None)], 0.0)
-        res = estimate_fundamental_ransac(
-            key,
-            x1,
-            x2,
-            m.mask.astype(jnp.float32),
-            threshold_px=self.match_config.ransac_threshold_px,
-            num_hypotheses=self.match_config.ransac_hypotheses,
-        )
-        enough = int(m.num_matches) >= min_matches
-        inlier_mask = res.inliers & m.mask if enough else jnp.zeros_like(m.mask)
-        out = MatchResult(idx1=m.idx1, idx2=m.idx2, distance=m.distance, mask=inlier_mask)
-        return out, res.F, (int(res.num_inliers) if enough else 0)
+
+        def run(m):
+            x1 = jnp.where(m.mask[:, None], f1.xy, 0.0)
+            x2 = jnp.where(
+                m.mask[:, None], f2.xy[jnp.clip(m.idx2, 0, None)], 0.0
+            )
+            res = estimate_fundamental_ransac(
+                key,
+                x1,
+                x2,
+                m.mask.astype(jnp.float32),
+                threshold_px=self.match_config.ransac_threshold_px,
+                num_hypotheses=self.match_config.ransac_hypotheses,
+            )
+            enough = int(m.num_matches) >= min_matches
+            inlier_mask = (
+                res.inliers & m.mask if enough else jnp.zeros_like(m.mask)
+            )
+            out = MatchResult(
+                idx1=m.idx1, idx2=m.idx2, distance=m.distance,
+                mask=inlier_mask,
+            )
+            return out, res.F, (int(res.num_inliers) if enough else 0)
+
+        best = run(self.match(f1, f2))
+        if (
+            self.matcher_kind == "lightglue"
+            and self.config.lightglue_nn_fallback
+            and best[2] < min_matches
+        ):
+            # The attention matcher abstained on this pair — try plain
+            # mutual-NN descriptor matching and keep the better verdict.
+            from recon3d_tpu.ops.match import match_descriptors
+
+            m_nn = match_descriptors(
+                f1.desc, f2.desc, f1.valid, f2.valid,
+                ratio=self.config.nn_ratio,
+            )
+            alt = run(m_nn)
+            if alt[2] > best[2]:
+                best = alt
+        return best
 
     # -- batched pair matching (mirrors features.frontend.match_pairs_batched) --
 
@@ -243,27 +282,13 @@ class NeuralMatcher:
             nn_ratio = self.config.nn_ratio
             lg_thr = self.config.lightglue_match_threshold
 
+            nn_fallback = (
+                kind == "lightglue" and self.config.lightglue_nn_fallback
+            )
+
             @jax.jit
             def fn(params, desc, xy, valid, pi, pj, keys, hw):
-                def one(i, j, key):
-                    if kind == "nn":
-                        from recon3d_tpu.ops.match import match_descriptors
-
-                        m = match_descriptors(
-                            desc[i], desc[j], valid[i], valid[j],
-                            ratio=nn_ratio,
-                        )
-                    else:
-                        xy0n = normalize_keypoints(xy[i], hw)
-                        xy1n = normalize_keypoints(xy[j], hw)
-                        log_assign, m0, m1 = lg.apply(
-                            params, desc[i], desc[j], xy0n, xy1n,
-                            valid[i], valid[j],
-                        )
-                        m = extract_matches(
-                            log_assign, valid[i], valid[j],
-                            threshold=lg_thr,
-                        )
+                def verify(m, i, j, key):
                     x1 = jnp.where(m.mask[:, None], xy[i], 0.0)
                     x2 = jnp.where(
                         m.mask[:, None], xy[j][jnp.clip(m.idx2, 0, None)], 0.0
@@ -276,6 +301,40 @@ class NeuralMatcher:
                     return (
                         m.idx2, m.mask & res.inliers, res.F,
                         res.num_inliers, jnp.sum(m.mask),
+                    )
+
+                def one(i, j, key):
+                    if kind == "nn":
+                        from recon3d_tpu.ops.match import match_descriptors
+
+                        m = match_descriptors(
+                            desc[i], desc[j], valid[i], valid[j],
+                            ratio=nn_ratio,
+                        )
+                        return verify(m, i, j, key)
+                    xy0n = normalize_keypoints(xy[i], hw)
+                    xy1n = normalize_keypoints(xy[j], hw)
+                    log_assign, m0, m1 = lg.apply(
+                        params, desc[i], desc[j], xy0n, xy1n,
+                        valid[i], valid[j],
+                    )
+                    m = extract_matches(
+                        log_assign, valid[i], valid[j],
+                        threshold=lg_thr,
+                    )
+                    out_lg = verify(m, i, j, key)
+                    if not nn_fallback:
+                        return out_lg
+                    from recon3d_tpu.ops.match import match_descriptors
+
+                    m_nn = match_descriptors(
+                        desc[i], desc[j], valid[i], valid[j], ratio=nn_ratio
+                    )
+                    out_nn = verify(m_nn, i, j, key)
+                    take_nn = out_nn[3] > out_lg[3]
+                    return tuple(
+                        jnp.where(take_nn, a, b)
+                        for a, b in zip(out_nn, out_lg)
                     )
 
                 return jax.vmap(one)(pi, pj, keys)

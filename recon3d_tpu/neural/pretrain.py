@@ -219,6 +219,7 @@ def train_lightglue(
     gt_radius_px: float = 3.0,
     detection_threshold: float = 2e-5,
     texture_frac: float = 0.0,
+    superpoint_weights: str | None = None,
 ):
     """Train LightGlue on synthetic homography pairs with features from the
     frozen bundled SuperPoint.
@@ -250,6 +251,7 @@ def train_lightglue(
     # keypoint sets give the assignment loss 3-5x more positives per pair.
     nm = NeuralMatcher(NeuralConfig(
         max_keypoints=max_keypoints, detection_threshold=detection_threshold,
+        superpoint_weights=superpoint_weights,
     ))
     nm._ensure_params(hw)
     sp, sp_params = nm.sp, nm._sp_params
@@ -314,6 +316,19 @@ def train_lightglue(
             feats = extract_batch(jnp.asarray(stackab))
             xy = np.asarray(feats.xy)        # (2P, K, 2)
             valid = np.asarray(feats.valid)  # (2P, K)
+            # Density augmentation: thin each image's keypoint set by a
+            # random survival rate so the matcher is trained across set
+            # sizes — inference-time sets (sparse scenes, high detection
+            # thresholds) are much smaller than the dense training sets,
+            # and attention trained only on ~K-point sets degenerates on
+            # 20-40-point sets (observed: 0 matches on sparse pairs).
+            rate = np.where(
+                rng.random((2 * n_pairs, 1)) < 0.5,
+                rng.uniform(0.4, 1.0, (2 * n_pairs, 1)),
+                1.0,
+            )
+            keep = rng.random((2 * n_pairs, K)) < rate
+            valid = valid & keep
             # -- host: ground-truth assignment under each homography
             gt = np.full((n_pairs, K), -1, np.int32)
             for p in range(n_pairs):
@@ -343,8 +358,8 @@ def train_lightglue(
                 xy1n=jax.vmap(lambda a: normalize_keypoints(a, hw_arr))(
                     feats.xy[n_pairs:]
                 ).reshape(sh + (2,)),
-                valid0=feats.valid[:n_pairs].reshape(sh),
-                valid1=feats.valid[n_pairs:].reshape(sh),
+                valid0=jnp.asarray(valid[:n_pairs]).reshape(sh),
+                valid1=jnp.asarray(valid[n_pairs:]).reshape(sh),
                 gt_idx=jnp.asarray(gt).reshape(sh),
             )
             state, losses = run(state, data)
@@ -383,6 +398,9 @@ def main(argv=None):
     p.add_argument("--texture-frac", type=float, default=0.5,
                    help="fraction of adaptation batches (superpoint) / "
                    "training pairs (lightglue) drawn from textures")
+    p.add_argument("--superpoint", default=None,
+                   help="frozen SuperPoint checkpoint for lightglue "
+                   "training (default: the bundled one)")
     p.add_argument(
         "--out",
         default=os.path.join(
@@ -402,6 +420,7 @@ def main(argv=None):
             batches_per_round=a.batches_per_round,
             epochs_per_round=a.epochs_per_round,
             texture_frac=a.texture_frac,
+            superpoint_weights=a.superpoint,
         )
     else:
         train(

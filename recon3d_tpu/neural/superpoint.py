@@ -126,8 +126,30 @@ def detect_keypoints(
     flat = s.reshape(-1)
     vals, idx = jax.lax.top_k(flat, max_keypoints)
     valid = vals > detection_threshold
-    y = (idx // W).astype(jnp.float32)
-    x = (idx % W).astype(jnp.float32)
+    yi = idx // W
+    xi = idx % W
+
+    # Subpixel refinement: 1D quadratic fit per axis on the RAW score map
+    # (NMS zeroes the neighbors, so refine on `scores`, not `s`). Offset
+    # -d/(2*d2) clamped to +-0.5; flat/degenerate curvature -> 0.
+    def _refine(axis_idx, other_idx, is_x):
+        lo = jnp.maximum(axis_idx - 1, 0)
+        hi = jnp.minimum(axis_idx + 1, (W if is_x else H) - 1)
+        if is_x:
+            sm1 = scores[other_idx, lo]
+            s0 = scores[other_idx, axis_idx]
+            sp1 = scores[other_idx, hi]
+        else:
+            sm1 = scores[lo, other_idx]
+            s0 = scores[axis_idx, other_idx]
+            sp1 = scores[hi, other_idx]
+        d = 0.5 * (sp1 - sm1)
+        d2 = sp1 - 2.0 * s0 + sm1
+        off = jnp.where(d2 < -1e-12, -d / jnp.minimum(d2, -1e-12), 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    x = xi.astype(jnp.float32) + _refine(xi, yi, True)
+    y = yi.astype(jnp.float32) + _refine(yi, xi, False)
     xy = jnp.stack([x, y], axis=-1)
 
     # Bilinear sample coarse descriptors at keypoint positions (in cell units).

@@ -109,7 +109,8 @@ def match_metrics(xy1, xy2, idx1, idx2, mask, scene, a, b, eps=EPS_PX):
     return float(correct.sum() / n), int(correct.sum()), n
 
 
-def evaluate(pairs=((0, 1), (1, 2), (2, 3)), image_size=(192, 256)):
+def evaluate(pairs=((0, 1), (1, 2), (2, 3)), image_size=(192, 256),
+             sp_weights=None, lg_weights=None):
     import jax
 
     from tests.render import render_views
@@ -149,7 +150,10 @@ def evaluate(pairs=((0, 1), (1, 2), (2, 3)), image_size=(192, 256)):
     # ---- neural frontends (both matcher backends share SuperPoint kps)
     for kind in ("nn", "lightglue"):
         try:
-            nm = NeuralMatcher(NeuralConfig(max_keypoints=1024, matcher=kind))
+            nm = NeuralMatcher(NeuralConfig(
+                max_keypoints=1024, matcher=kind,
+                superpoint_weights=sp_weights, lightglue_weights=lg_weights,
+            ))
         except Exception as e:  # no bundled checkpoint for this backend
             print(f"[skip] {kind}: {e}")
             continue
@@ -196,10 +200,15 @@ def format_md(rows) -> str:
         lines.append(f"| {name} | {r:.3f} | {p:.3f} | {c:.0f} | {n:.0f} |")
     lines += [
         "",
-        "The bundled neural checkpoints are trained in-repo on the synthetic "
-        "shapes corpus (recon3d_tpu/neural/pretrain.py); for "
-        "published-weight quality load torch checkpoints via "
-        "neural/weights.py (conversion proven in tests/test_weights.py).",
+        "The bundled neural checkpoints are trained in-repo "
+        "(recon3d_tpu/neural/pretrain.py): SuperPoint on the shapes corpus "
+        "plus a homographic-adaptation phase on pseudo-labeled value-noise "
+        "textures (which lifted texture repeatability 0.456 -> 0.66 and nn "
+        "precision 0.64 -> 0.88); LightGlue on shapes+texture pairs with "
+        "keypoint-density augmentation, with per-pair mutual-NN fallback "
+        "when the attention matcher abstains. For published-weight quality "
+        "load torch checkpoints via neural/weights.py (conversion proven "
+        "in tests/test_weights.py).",
         "",
         f"Generated by scripts/neural_quality.py on {time.strftime('%Y-%m-%d')}.",
         "",
@@ -211,12 +220,16 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--md", type=str, default=None)
     ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--superpoint", type=str, default=None,
+                    help="override SuperPoint checkpoint (.npz or torch .pth)")
+    ap.add_argument("--lightglue", type=str, default=None,
+                    help="override LightGlue checkpoint (.npz or torch .pth)")
     args = ap.parse_args(argv)
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    rows = evaluate()
+    rows = evaluate(sp_weights=args.superpoint, lg_weights=args.lightglue)
     md = format_md(rows)
     print(md)
     if args.md:
