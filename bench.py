@@ -62,24 +62,29 @@ def main():
 
     def run(rep):
         keys = jax.random.split(jax.random.PRNGKey(rep), V)
-        return patchmatch_depth_batch(
+        out = patchmatch_depth_batch(
             *base,
             keys,
             num_iterations=NUM_ITERATIONS,
             num_samples=NUM_SAMPLES,
             patch=PATCH,
         )
+        # Device-side scalar reduce: fetching it forces the whole program.
+        # (jax.block_until_ready does NOT reliably synchronize through the
+        # tunneled axon runtime — timing with it measured dispatch, not
+        # compute, and overstated throughput by orders of magnitude.)
+        return jnp.sum(out.depth)
 
-    # Warm-up / compile.
-    jax.block_until_ready(run(0))
+    # Warm-up / compile (float() materializes on host).
+    float(run(0))
 
     # Best of 3 windows: robust against transient host/tunnel contention.
     reps = 8
     best_dt = float("inf")
     for w in range(3):
         t0 = time.perf_counter()
-        outs = [run(w * reps + r + 1) for r in range(reps)]
-        jax.block_until_ready(outs)
+        sums = [run(w * reps + r + 1) for r in range(reps)]
+        float(jnp.stack(sums).sum())
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     mp_s = Hs * Ws * V * reps / 1e6 / best_dt

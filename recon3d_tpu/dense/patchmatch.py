@@ -51,7 +51,7 @@ from recon3d_tpu.dense.plane_sweep import (
     depth_range_from_poses,
     depth_range_from_sparse,
 )
-from recon3d_tpu.ops.image import bilinear_sample, box_filter
+from recon3d_tpu.ops.image import bilinear_sample_auto, box_filter
 
 _HI = jax.lax.Precision.HIGHEST
 _BIG = 1e9  # stand-in for +inf that stays finite under where/argmin
@@ -96,7 +96,7 @@ def _warp_sources(depth, rays, R_ref, t_ref, R_srcs, t_srcs, K, src_grays):
             [K[0, 0] * uv[..., 0] + K[0, 2], K[1, 1] * uv[..., 1] + K[1, 2]],
             axis=-1,
         )
-        samp, ok = bilinear_sample(src, px)
+        samp, ok = bilinear_sample_auto(src, px)
         return samp, ok & (z > 0.1)
 
     return jax.vmap(one)(src_grays, R_srcs, t_srcs)

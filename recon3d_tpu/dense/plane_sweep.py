@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from recon3d_tpu.camera import Camera
 from recon3d_tpu.config import PlaneSweepConfig
-from recon3d_tpu.ops.image import bilinear_sample, box_filter
+from recon3d_tpu.ops.image import bilinear_sample_auto, box_filter
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -56,7 +56,7 @@ def _warp_by_homography(img, H, grid_h):
     z = g[..., 2]
     z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     coords = g[..., :2] / z[..., None]
-    samp, ok = bilinear_sample(img, coords)
+    samp, ok = bilinear_sample_auto(img, coords)
     return samp, ok & (z > 0)
 
 

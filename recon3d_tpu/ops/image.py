@@ -144,6 +144,75 @@ def bilinear_sample(
     return out, valid
 
 
+def bilinear_sample_mxu(
+    img: jnp.ndarray, coords: jnp.ndarray, fill: float = 0.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather-free bilinear sampling for TPU: tent-weight matmuls on the MXU.
+
+    Mathematically identical to bilinear_sample for 2D images (same values,
+    same validity semantics) but expressed as dense linear algebra:
+
+        out[p] = sum_h sum_w relu(1-|y_p-h|) * img[h, w] * relu(1-|x_p-w|)
+               = ((Wy @ img) * Wx).sum(-1)
+
+    The tent weights have exactly the two nonzero taps of linear
+    interpolation per axis, so the contraction IS bilinear sampling. XLA
+    lowers arbitrary-index gathers to ~20 M samples/s on TPU (measured,
+    three orders of magnitude below HBM speed); the MXU runs the same
+    sampling as matmuls at TFLOP/s rates. Worth it when H*W is small —
+    cost is P*H*W flops vs P gathers — which is exactly the dense-stereo
+    working resolution (scale 0.25 -> ~19k px maps).
+
+    img: (H, W) only. coords: (..., 2) as (x, y).
+    """
+    H, W = img.shape[0], img.shape[1]
+    x = coords[..., 0]
+    y = coords[..., 1]
+    valid = (
+        (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1)
+        & jnp.isfinite(x) & jnp.isfinite(y)
+    )
+    # Out-of-range / non-finite coords collapse to 0 so the weight rows stay
+    # finite; their outputs are masked to `fill` below.
+    xc = jnp.clip(jnp.where(jnp.isfinite(x), x, 0.0), 0, W - 1)
+    yc = jnp.clip(jnp.where(jnp.isfinite(y), y, 0.0), 0, H - 1)
+
+    shape = xc.shape
+    P = 1
+    for s in shape:
+        P *= s
+    xf = xc.reshape(P)
+    yf = yc.reshape(P)
+    iota_h = jnp.arange(H, dtype=img.dtype)
+    iota_w = jnp.arange(W, dtype=img.dtype)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(yf[:, None] - iota_h[None, :]))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(xf[:, None] - iota_w[None, :]))
+    rows = jnp.matmul(wy, img, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.sum(rows * wx, axis=-1).reshape(shape)
+    return jnp.where(valid, out, fill), valid
+
+
+# Below this pixel count the MXU tent-matmul formulation beats XLA's
+# gather lowering on TPU (P*H*W flops vs P slow gathers); above it the
+# quadratic flop cost takes over. 19.2k-px maps (the default dense working
+# scale) sit comfortably below.
+_MXU_SAMPLE_MAX_PIXELS = 128 * 512
+
+
+def bilinear_sample_auto(
+    img: jnp.ndarray, coords: jnp.ndarray, fill: float = 0.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """bilinear_sample with automatic TPU dispatch: MXU formulation for
+    small 2D images, gather formulation otherwise."""
+    if (
+        img.ndim == 2
+        and img.shape[0] * img.shape[1] <= _MXU_SAMPLE_MAX_PIXELS
+        and jax.default_backend() == "tpu"
+    ):
+        return bilinear_sample_mxu(img, coords, fill)
+    return bilinear_sample(img, coords, fill)
+
+
 def distort_points(norm_xy: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
     """Apply OpenCV 5-parameter distortion [k1,k2,p1,p2,k3] to normalized
     coordinates (..., 2)."""
@@ -194,6 +263,40 @@ def remap(img: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray) -> jnp.ndarr
     return out
 
 
+def _box_filter_mxu(img: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Clipped-window mean via banded ones-matrix matmuls on the MXU.
+
+    box2d(img) = B_h @ img @ B_w with B[i, j] = 1 iff |i - j| <= r, then
+    normalized by the true per-pixel overlap count. Identical values to
+    the cumsum formulation, but matmuls instead of serial scans — on TPU
+    the cumsum lowering was the hottest op left in the NCC chain.
+    """
+    H, W = img.shape[0], img.shape[1]
+    r = size // 2
+    ih = jnp.arange(H)
+    iw = jnp.arange(W)
+    Bh = (jnp.abs(ih[:, None] - ih[None, :]) <= r).astype(img.dtype)
+    Bw = (jnp.abs(iw[:, None] - iw[None, :]) <= r).astype(img.dtype)
+    if img.ndim == 2:
+        s = jnp.matmul(
+            jnp.matmul(Bh, img, precision=jax.lax.Precision.HIGHEST),
+            Bw, precision=jax.lax.Precision.HIGHEST,
+        )
+    else:  # (H, W, C)
+        s = jnp.einsum(
+            "hi,iwc->hwc", Bh, img, precision=jax.lax.Precision.HIGHEST
+        )
+        s = jnp.einsum(
+            "hwc,wj->hjc", s, Bw, precision=jax.lax.Precision.HIGHEST
+        )
+    cnt_h = jnp.sum(Bh, axis=1)
+    cnt_w = jnp.sum(Bw, axis=1)
+    cnt = cnt_h[:, None] * cnt_w[None, :]
+    if img.ndim == 3:
+        cnt = cnt[..., None]
+    return s / cnt
+
+
 def box_filter(img: jnp.ndarray, size: int) -> jnp.ndarray:
     """Mean filter over a size x size window via padded cumulative sums.
 
@@ -202,8 +305,13 @@ def box_filter(img: jnp.ndarray, size: int) -> jnp.ndarray:
     Edge handling: zero padding with per-pixel valid-count normalization
     (matches conv2d 'same' with ones kernel divided by window area? no —
     we normalize by the true overlap count, which is what NCC wants).
+
+    On TPU, small images route to the MXU banded-matmul formulation
+    (_box_filter_mxu) — same values, no serial scans.
     """
     H, W = img.shape[0], img.shape[1]
+    if H * W <= _MXU_SAMPLE_MAX_PIXELS and jax.default_backend() == "tpu":
+        return _box_filter_mxu(img, size)
     r = size // 2
     # integral image with leading zero row/col
     ii = jnp.pad(img, ((1, 0), (1, 0)) + ((0, 0),) * (img.ndim - 2)).cumsum(0).cumsum(1)

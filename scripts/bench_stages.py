@@ -29,14 +29,34 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def _steady(fn, block, windows=3, reps=4):
+def _force(out):
+    """Force completion of `out` by fetching a device-side scalar reduce.
+
+    jax.block_until_ready does NOT reliably synchronize through the
+    tunneled axon runtime (it returns after dispatch); only a host fetch
+    proves the computation ran. Reducing on device first keeps the fetch
+    to 4 bytes instead of shipping the arrays over the link.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaves = [
+        jnp.sum(l)
+        for l in jax.tree_util.tree_leaves(out)
+        if hasattr(l, "dtype")
+    ]
+    if leaves:
+        float(jnp.asarray([jnp.asarray(s, jnp.float32) for s in leaves]).sum())
+
+
+def _steady(fn, block=None, windows=3, reps=4):
     """Best-window steady-state seconds per call (compile excluded)."""
-    block(fn())  # warm-up / compile
+    _force(fn())  # warm-up / compile
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
         outs = [fn() for _ in range(reps)]
-        block(outs)
+        _force(outs)
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
 
@@ -50,7 +70,7 @@ def bench_sift(quick=False):
     rng = np.random.default_rng(0)
     imgs = rng.random((B, 480, 640), np.float32)
     ex = FeatureExtractor()
-    dt = _steady(lambda: ex.extract_batch(imgs), jax.block_until_ready)
+    dt = _steady(lambda: ex.extract_batch(imgs))
     return {"metric": "sift_extract", "value": round(dt / B * 1e3, 2),
             "unit": "ms/image"}
 
@@ -76,11 +96,11 @@ def bench_match(quick=False):
             feats, pairs, jax.random.PRNGKey(0), chunk=len(pairs)
         )
 
-    run()  # compile
+    _force(run())  # compile
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        run()
+        _force(run())
     dt = (time.perf_counter() - t0) / reps
     return {"metric": "match_verify", "value": round(len(pairs) / dt, 1),
             "unit": "pairs/s"}
@@ -108,7 +128,7 @@ def bench_plane_sweep(quick=False):
     fn = jax.jit(
         lambda: sweep_depth_map(ref, srcs, jnp.asarray(K), Rr, tr, Rsrc, tsrc, dr)
     )
-    dt = _steady(fn, jax.block_until_ready)
+    dt = _steady(fn)
     return {"metric": "plane_sweep", "value": round(Hs * Ws / 1e6 / dt, 2),
             "unit": "MP/s"}
 
