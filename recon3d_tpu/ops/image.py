@@ -209,7 +209,9 @@ def bilinear_sample_auto(
         and img.shape[0] * img.shape[1] <= _MXU_SAMPLE_MAX_PIXELS
         and jax.default_backend() == "tpu"
     ):
-        return bilinear_sample_mxu(img, coords, fill)
+        from recon3d_tpu.ops.warp_pallas import bilinear_sample_pallas
+
+        return bilinear_sample_pallas(img, coords, fill)
     return bilinear_sample(img, coords, fill)
 
 

@@ -148,3 +148,22 @@ def test_bilinear_sample_mxu_matches_gather(rng):
     b, vb = bilinear_sample_mxu(img, jnp.asarray(coords))
     np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_bilinear_sample_pallas_matches_gather(rng):
+    """The Pallas tent-warp kernel (interpret mode on CPU) is
+    value-identical to the gather formulation."""
+    from recon3d_tpu.ops.image import bilinear_sample
+    from recon3d_tpu.ops.warp_pallas import bilinear_sample_pallas
+
+    img = jnp.asarray(rng.random((37, 53)).astype(np.float32))
+    coords = (rng.random((5, 64, 2)) * np.array([60.0, 45.0]) - 4.0).astype(
+        np.float32
+    )
+    coords[0, 0] = (np.nan, 3.0)
+    coords[0, 1] = (np.inf, 3.0)
+    coords[0, 2] = (52.0, 36.0)
+    a, va = bilinear_sample(img, jnp.asarray(coords))
+    b, vb = bilinear_sample_pallas(img, jnp.asarray(coords), interpret=True)
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
