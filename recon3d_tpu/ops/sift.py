@@ -498,7 +498,8 @@ def extract_sift(
         # Descriptor from a patch rotated by the dominant orientation.
         rad_desc = LAMBDA_DESC * det["sigma_oct"] * (DESC_GRID + 1) * 0.5 * math.sqrt(2.0)
         dpatch, dok = _sample_patches(
-            gauss, lvl, det["x_oct"], det["y_oct"], rad_desc, angle, PATCH
+            gauss, lvl, det["x_oct"], det["y_oct"], rad_desc, angle, PATCH,
+            interp="nearest",
         )
         dmag, dori = _patch_gradients(dpatch, dok)
         desc = _descriptor(dmag, dori, descriptor_max_value)
