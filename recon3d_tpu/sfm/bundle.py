@@ -40,9 +40,19 @@ class BAData(NamedTuple):
     t0: jnp.ndarray       # (C, 3)
     X0: jnp.ndarray       # (P, 3) linearization points
     obs_cam: jnp.ndarray  # (O,) int32
-    obs_pt: jnp.ndarray   # (O,) int32
+    obs_pt: jnp.ndarray   # (O,) int32 — sorted ascending over the real rows
     obs_xy: jnp.ndarray   # (O, 2)
     obs_w: jnp.ndarray    # (O,) 0/1 validity
+    # Scatter-free segment-reduction indices (XLA scatter-adds are the
+    # slowest op class on TPU; every J^T contraction instead uses cumsum +
+    # boundary differences over contiguous segments). Points are contiguous
+    # because the observation table is built point-major; cameras get a
+    # host-precomputed sort permutation.
+    pt_start: jnp.ndarray   # (P,) int32 — [start, end) rows of point p
+    pt_end: jnp.ndarray     # (P,) int32
+    cam_perm: jnp.ndarray   # (O,) int32 — permutation sorting rows by camera
+    cam_start: jnp.ndarray  # (C,) int32
+    cam_end: jnp.ndarray    # (C,) int32
 
 
 class BAParams(NamedTuple):
@@ -92,23 +102,50 @@ def _unflatten(v: jnp.ndarray, C: int, P: int) -> BAParams:
     return BAParams(xi=v[: C * 6].reshape(C, 6), dX=v[C * 6 :].reshape(P, 3))
 
 
-def _per_obs_jac_diag(params, data, robust_w, free_mask_cam, free_mask_pt):
-    """diag(J^T J) via per-observation Jacobian blocks + segment sums."""
+def _reduce_contiguous(y: jnp.ndarray, start: jnp.ndarray,
+                       end: jnp.ndarray) -> jnp.ndarray:
+    """Segment sums of y (O, D) whose segments occupy contiguous row ranges
+    [start_s, end_s): exclusive cumsum + two boundary gathers — no scatter.
+    Rows outside every segment (zero-weight padding) contribute nothing as
+    long as their values are zero, which the w-multiplied Jacobians are."""
+    c = jnp.cumsum(y, axis=0)
+    c = jnp.concatenate([jnp.zeros((1,) + y.shape[1:], y.dtype), c], axis=0)
+    return jnp.take(c, end, axis=0) - jnp.take(c, start, axis=0)
 
-    def obs_res(xi_c, dX_p, Rc0, tc0, Xp0, xy, w):
-        dR, dt = se3_exp(xi_c)
-        R = jnp.matmul(dR, Rc0, precision=_HI)
-        t = jnp.einsum("ij,j->i", dR, tc0, precision=_HI) + dt
-        X = Xp0 + dX_p
-        Xc = jnp.einsum("ij,j->i", R, X, precision=_HI) + t
-        z = jnp.where(jnp.abs(Xc[2]) < 1e-6, 1e-6, Xc[2])
-        uv = Xc[:2] / z
-        K = data.K
-        u = K[0, 0] * uv[0] + K[0, 1] * uv[1] + K[0, 2]
-        v = K[1, 1] * uv[1] + K[1, 2]
-        return (jnp.stack([u, v]) - xy) * w
 
-    jac = jax.vmap(jax.jacfwd(obs_res, argnums=(0, 1)))(
+def _reduce_pt(data: BAData, y: jnp.ndarray) -> jnp.ndarray:
+    """Sum per-observation rows into point rows (table is point-major)."""
+    return _reduce_contiguous(y, data.pt_start, data.pt_end)
+
+
+def _reduce_cam(data: BAData, y: jnp.ndarray) -> jnp.ndarray:
+    """Sum per-observation rows into camera rows via the sort permutation."""
+    return _reduce_contiguous(
+        jnp.take(y, data.cam_perm, axis=0), data.cam_start, data.cam_end
+    )
+
+
+def _obs_res_one(xi_c, dX_p, Rc0, tc0, Xp0, xy, w, K):
+    """Weighted 2-vector residual of one observation."""
+    dR, dt = se3_exp(xi_c)
+    R = jnp.matmul(dR, Rc0, precision=_HI)
+    t = jnp.einsum("ij,j->i", dR, tc0, precision=_HI) + dt
+    X = Xp0 + dX_p
+    Xc = jnp.einsum("ij,j->i", R, X, precision=_HI) + t
+    z = jnp.where(jnp.abs(Xc[2]) < 1e-6, 1e-6, Xc[2])
+    uv = Xc[:2] / z
+    u = K[0, 0] * uv[0] + K[0, 1] * uv[1] + K[0, 2]
+    v = K[1, 1] * uv[1] + K[1, 2]
+    return (jnp.stack([u, v]) - xy) * w
+
+
+def _per_obs_jacobians(params, data, robust_w):
+    """Per-observation residuals and Jacobian blocks.
+
+    Returns (r (O, 2), Jc (O, 2, 6), Jp (O, 2, 3)) — the explicit
+    Gauss-Newton blocks every J/J^T application contracts against, so the
+    CG loop needs only gathers, einsums, and contiguous reductions."""
+    args = (
         jnp.take(params.xi, data.obs_cam, axis=0),
         jnp.take(params.dX, data.obs_pt, axis=0),
         jnp.take(data.R0, data.obs_cam, axis=0),
@@ -117,16 +154,19 @@ def _per_obs_jac_diag(params, data, robust_w, free_mask_cam, free_mask_pt):
         data.obs_xy,
         data.obs_w * robust_w,
     )
-    Jc, Jp = jac  # (O, 2, 6), (O, 2, 3)
+    f = lambda *a: _obs_res_one(*a, data.K)
+    r = jax.vmap(f)(*args)
+    Jc, Jp = jax.vmap(jax.jacfwd(f, argnums=(0, 1)))(*args)
+    return r, Jc, Jp
+
+
+def _jac_diag(data, Jc, Jp, free_mask_cam, free_mask_pt):
+    """diag(J^T J) from the per-observation blocks (scatter-free)."""
     dc = jnp.sum(Jc * Jc, axis=1)  # (O, 6)
     dp = jnp.sum(Jp * Jp, axis=1)  # (O, 3)
-    C = params.xi.shape[0]
-    P = params.dX.shape[0]
-    diag_c = jax.ops.segment_sum(dc, data.obs_cam, num_segments=C)
-    diag_p = jax.ops.segment_sum(dp, data.obs_pt, num_segments=P)
     diag = jnp.concatenate([
-        (diag_c * free_mask_cam[:, None]).reshape(-1),
-        (diag_p * free_mask_pt[:, None]).reshape(-1),
+        (_reduce_cam(data, dc) * free_mask_cam[:, None]).reshape(-1),
+        (_reduce_pt(data, dp) * free_mask_pt[:, None]).reshape(-1),
     ])
     return jnp.maximum(diag, 1e-8)
 
@@ -141,9 +181,16 @@ def _lm_step(
     motion_only: bool = False,
 ):
     """One LM iteration: build robust weights, solve the damped normal
-    equations with preconditioned CG (matrix-free), return candidate step.
-    Jitted as ONE device program (matrix-free JVP/VJP CG under lax.scan) —
-    a host-side step would dispatch hundreds of tiny ops per CG iteration."""
+    equations with preconditioned CG, return candidate step. Jitted as ONE
+    device program (CG under lax.scan) — a host-side step would dispatch
+    hundreds of tiny ops per CG iteration.
+
+    The Jacobian is materialized ONCE per LM step as per-observation
+    (2, 6)/(2, 3) blocks; every CG matvec is then gathers + einsums +
+    contiguous segment reductions. The previous jvp/vjp-of-residuals
+    formulation re-linearized per CG step AND paid an XLA scatter-add for
+    every J^T application — scatter is the slowest op class on TPU and
+    dominated full-BA wall-clock."""
     C = params.xi.shape[0]
     P = params.dX.shape[0]
     robust_w = jax.lax.stop_gradient(_robust_weights(params, data, delta))
@@ -154,31 +201,40 @@ def _lm_step(
         jnp.repeat(free_cam, 6), jnp.repeat(free_pt, 3)
     ])
 
-    def res_flat(v):
-        return _residuals(_unflatten(v, C, P), data, robust_w)
+    r0_obs, Jc, Jp = _per_obs_jacobians(params, data, robust_w)
+    cost0 = 0.5 * jnp.sum(r0_obs * r0_obs)
+
+    def Jt_apply(y):  # y (O, 2) -> flat (C*6 + P*3)
+        yc = jnp.einsum("oij,oi->oj", Jc, y, precision=_HI)  # (O, 6)
+        yp = jnp.einsum("oij,oi->oj", Jp, y, precision=_HI)  # (O, 3)
+        return jnp.concatenate([
+            _reduce_cam(data, yc).reshape(-1),
+            _reduce_pt(data, yp).reshape(-1),
+        ])
+
+    def J_apply(v):  # flat -> (O, 2)
+        vc = v[: C * 6].reshape(C, 6)
+        vp = v[C * 6:].reshape(P, 3)
+        return (
+            jnp.einsum("oij,oj->oi", Jc,
+                       jnp.take(vc, data.obs_cam, axis=0), precision=_HI)
+            + jnp.einsum("oij,oj->oi", Jp,
+                         jnp.take(vp, data.obs_pt, axis=0), precision=_HI)
+        )
 
     x0 = _flatten(params)
-    r0 = res_flat(x0)
-    cost0 = 0.5 * jnp.sum(r0 * r0)
+    g = Jt_apply(r0_obs) * free_flat  # J^T r
 
-    _, vjp = jax.vjp(res_flat, x0)
-    g = vjp(r0)[0] * free_flat  # J^T r
-
-    diag = _per_obs_jac_diag(params, data, robust_w, free_cam, free_pt)
+    diag = _jac_diag(data, Jc, Jp, free_cam, free_pt)
     M_inv = 1.0 / (diag + damping * diag + 1e-8)
 
     def A(v):
         v = v * free_flat
-        _, Jv = jax.jvp(res_flat, (x0,), (v,))
-        JtJv = vjp(Jv)[0] * free_flat
-        return JtJv + damping * diag * v
+        return Jt_apply(J_apply(v)) * free_flat + damping * diag * v
 
     b = -g
 
-    # Matrix-free preconditioned CG. (An explicit-Jacobian dense solve was
-    # measured for small problems and lost to CG under the jitted LM
-    # while_loop: 26 s vs 16 s for the 12-view scene — jacfwd's 1.5k-row
-    # batched JVP each iteration outweighs 40 sequential CG steps.)
+    # Preconditioned CG on the explicit GN blocks.
     def cg_body(carry, _):
         x, r, z, p = carry
         Ap = A(p)
@@ -309,6 +365,22 @@ def bundle_adjust(
     obs_xy[:O] = np.asarray(oxy, np.float32)
     obs_w[:O] = 1.0
 
+    # Scatter-free reduction indices (see BAData): the table is point-major,
+    # so point segments are contiguous; cameras get a stable sort
+    # permutation. Padded rows (w=0 => zero Jacobians) sit outside every
+    # real segment and are harmless wherever the permutation leaves them.
+    op_arr = np.asarray(op, np.int32)
+    oc_arr = np.asarray(oc, np.int32)
+    pt_start = np.searchsorted(op_arr, np.arange(P), side="left").astype(np.int32)
+    pt_end = np.searchsorted(op_arr, np.arange(P), side="right").astype(np.int32)
+    cam_perm = np.concatenate([
+        np.argsort(oc_arr, kind="stable"),
+        np.arange(O, cap),
+    ]).astype(np.int32)
+    oc_sorted = oc_arr[cam_perm[:O]]
+    cam_start = np.searchsorted(oc_sorted, np.arange(C), side="left").astype(np.int32)
+    cam_end = np.searchsorted(oc_sorted, np.arange(C), side="right").astype(np.int32)
+
     R0 = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
     t0 = np.zeros((C, 3), np.float32)
     t0[:, 2] = 1.0
@@ -326,6 +398,11 @@ def bundle_adjust(
         obs_pt=jnp.asarray(obs_pt),
         obs_xy=jnp.asarray(obs_xy),
         obs_w=jnp.asarray(obs_w),
+        pt_start=jnp.asarray(pt_start),
+        pt_end=jnp.asarray(pt_end),
+        cam_perm=jnp.asarray(cam_perm),
+        cam_start=jnp.asarray(cam_start),
+        cam_end=jnp.asarray(cam_end),
     )
     params = BAParams(xi=jnp.zeros((C, 6)), dX=jnp.zeros((P, 3)))
 
