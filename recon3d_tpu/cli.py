@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write pipeline statistics + stage timings to a JSON file")
     p.add_argument("--devices", type=int, default=0,
                    help="Max devices to use (0 = all; 1 disables the mesh)")
+    p.add_argument("--export-colmap", action="store_true",
+                   help="Also write the sparse model as a COLMAP text model "
+                        "(<output>/sparse_colmap/)")
+    p.add_argument("--from-colmap", type=str, default=None, metavar="MODEL_DIR",
+                   help="Skip SfM: take poses + sparse points from an "
+                        "existing COLMAP text model and run the requested "
+                        "dense stages on its images")
     return p
 
 
@@ -67,6 +74,57 @@ def resolve_dataset(dataset: str) -> Path:
     if candidate.is_dir():
         return candidate
     raise SystemExit(f"ERROR: image directory not found: {dataset}")
+
+
+def load_from_colmap(pipeline, model_dir: str, image_dir: str,
+                     max_images=None):
+    """Seed the pipeline from an existing COLMAP text model: load the images,
+    map model entries to them by file name, and adopt the model's poses,
+    intrinsics (rescaled to the working resolution), and sparse points. The
+    TPU dense stages then run on a reconstruction COLMAP produced — interop
+    the reference cannot do in either direction."""
+    import os as _os
+
+    from recon3d_tpu.camera import Camera
+    from recon3d_tpu.io.colmap import load_colmap_text
+
+    model = load_colmap_text(model_dir)
+    iset = pipeline.load_images(image_dir, max_images)
+    name_to_idx = {n: i for i, n in enumerate(iset.names)}
+
+    poses = {}
+    for im in model.images.values():
+        idx = name_to_idx.get(im.name)
+        if idx is None:
+            idx = name_to_idx.get(_os.path.basename(im.name))
+        if idx is None:
+            continue
+        poses[idx] = (im.R().astype(np.float32), im.t.astype(np.float32))
+    if not poses:
+        raise SystemExit(
+            f"ERROR: no image names in {model_dir}/images.txt match files "
+            f"in {image_dir}"
+        )
+
+    # The model's intrinsics describe the original image resolution; ours
+    # may be downscaled at load (ImageSet.scale). Rescale fx/fy/cx/cy.
+    cam = model.cameras[min(model.cameras)]
+    K = cam.K() * np.array(
+        [[iset.scale, 1, iset.scale], [1, iset.scale, iset.scale], [1, 1, 1]],
+        np.float32,
+    )
+    import dataclasses as _dc
+
+    pipeline.camera = Camera(K=K, dist=cam.dist())
+    pipeline.image_set = _dc.replace(iset, camera=pipeline.camera)
+    pipeline.poses = dict(poses)
+    pipeline.registered = set(poses.keys())
+    pipeline.points3d = [p for p in model.points.astype(np.float32)]
+    pipeline.point_colors = [c for c in model.colors]
+
+    points = model.points.astype(np.float32).reshape(-1, 3)
+    colors = model.colors.reshape(-1, 3)
+    return points, colors, poses
 
 
 def main(argv=None) -> int:
@@ -131,25 +189,36 @@ def main(argv=None) -> int:
 
             ckpt = StageCheckpointer(args.checkpoint_dir)
 
-        with timer.stage("sparse_sfm"):
-            restored = ckpt.restore_sparse(pipeline) if ckpt else False
-            if restored:
-                print("[ckpt] restored sparse reconstruction")
-                points = np.stack(pipeline.points3d) if pipeline.points3d else np.zeros((0, 3), np.float32)
-                colors = np.stack(pipeline.point_colors) if pipeline.point_colors else np.zeros((0, 3), np.uint8)
-                pipeline.load_images(str(image_dir), args.max_images)
-                poses = dict(pipeline.poses)
-            else:
-                points, colors, _ = pipeline.reconstruct(
-                    str(image_dir), args.max_images
+        if args.from_colmap:
+            with timer.stage("sparse_sfm"):
+                points, colors, poses = load_from_colmap(
+                    pipeline, args.from_colmap, str(image_dir), args.max_images
                 )
-                poses = dict(pipeline.poses)
-                if ckpt:
-                    ckpt.save_sparse(pipeline)
+            print(f"[colmap] imported {len(poses)} posed images, "
+                  f"{len(points):,} sparse points from {args.from_colmap}")
+        else:
+            with timer.stage("sparse_sfm"):
+                restored = ckpt.restore_sparse(pipeline) if ckpt else False
+                if restored:
+                    print("[ckpt] restored sparse reconstruction")
+                    points = np.stack(pipeline.points3d) if pipeline.points3d else np.zeros((0, 3), np.float32)
+                    colors = np.stack(pipeline.point_colors) if pipeline.point_colors else np.zeros((0, 3), np.uint8)
+                    pipeline.load_images(str(image_dir), args.max_images)
+                    poses = dict(pipeline.poses)
+                else:
+                    points, colors, _ = pipeline.reconstruct(
+                        str(image_dir), args.max_images
+                    )
+                    poses = dict(pipeline.poses)
+                    if ckpt:
+                        ckpt.save_sparse(pipeline)
 
         save_ply(str(output_dir / "sparse.ply"), points, colors)
         pipeline.save_cameras_ply(str(output_dir / "cameras.ply"))
         print(f"  sparse.ply: {len(points):,} points")
+        if args.export_colmap and not args.from_colmap:
+            pipeline.save_colmap(str(output_dir / "sparse_colmap"))
+            print("  sparse_colmap/: COLMAP text model")
 
         run_dense = (
             (args.mvs or args.stereo or args.dense or args.combined)

@@ -1134,3 +1134,32 @@ class SfMPipeline:
             from recon3d_tpu.camera import stack_poses
 
             save_cameras_ply(path, stack_poses(poses))
+
+    def save_colmap(self, out_dir: str):
+        """Export the sparse model as a COLMAP text model (cameras.txt /
+        images.txt / points3D.txt) with full 2D-3D tracks — consumable by
+        COLMAP itself and the tools that read its format (nerfstudio,
+        gsplat, ...). Capability the reference lacks: it can only shell out
+        to an external COLMAP binary (tools/run_colmap.py parity module)."""
+        from recon3d_tpu.io.colmap import save_colmap_text
+
+        points = (
+            np.stack(self.points3d) if self.points3d
+            else np.zeros((0, 3), np.float32)
+        )
+        colors = (
+            np.stack(self.point_colors) if self.point_colors
+            else np.zeros((0, 3), np.uint8)
+        )
+        iset = self.image_set
+        save_colmap_text(
+            out_dir,
+            K=np.asarray(self.camera.K),
+            image_size=iset.gray.shape[1:3] if iset is not None else (0, 0),
+            poses=self.poses,
+            points=points,
+            colors=colors,
+            observations=self.observations,
+            kp_xy=self.kp_xy,
+            names=iset.names if iset is not None else None,
+        )

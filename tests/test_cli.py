@@ -70,3 +70,30 @@ def test_cli_checkpoint_resume(image_dir, tmp_path):
     assert rc == 0
     pts2, _ = load_ply(str(out2 / "sparse.ply"))
     np.testing.assert_allclose(pts1, pts2, atol=1e-5)
+
+
+def test_cli_colmap_export_import(image_dir, tmp_path):
+    """--export-colmap writes a loadable model; --from-colmap skips SfM and
+    reproduces the same sparse output from it."""
+    from recon3d_tpu.io.colmap import load_colmap_text
+
+    out1 = tmp_path / "r_exp"
+    rc = main([image_dir, "--fast", "--output", str(out1), "--seed", "1",
+               "--export-colmap"])
+    assert rc == 0
+    model_dir = out1 / "sparse_colmap"
+    m = load_colmap_text(str(model_dir))
+    assert len(m.images) >= 4 and len(m.points) > 100
+    # every exported image name exists on disk (the --from-colmap contract)
+    for im in m.images.values():
+        assert os.path.exists(os.path.join(image_dir, im.name))
+
+    out2 = tmp_path / "r_imp"
+    rc = main([image_dir, "--output", str(out2),
+               "--from-colmap", str(model_dir)])
+    assert rc == 0
+    from recon3d_tpu.io.ply import load_ply as _load
+
+    p1, _ = _load(str(out1 / "sparse.ply"))
+    p2, _ = _load(str(out2 / "sparse.ply"))
+    np.testing.assert_allclose(p2, p1, atol=1e-4)
