@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write pipeline statistics + stage timings to a JSON file")
     p.add_argument("--devices", type=int, default=0,
                    help="Max devices to use (0 = all; 1 disables the mesh)")
+    p.add_argument("--mesh", action="store_true",
+                   help="Also extract a TSDF triangle mesh (mesh.ply) from "
+                        "the PatchMatch depth maps (implies --mvs)")
+    p.add_argument("--mesh-resolution", type=int, default=192,
+                   help="TSDF voxels per axis for --mesh")
     p.add_argument("--export-colmap", action="store_true",
                    help="Also write the sparse model as a COLMAP text model "
                         "(<output>/sparse_colmap/)")
@@ -221,25 +226,56 @@ def main(argv=None) -> int:
             print("  sparse_colmap/: COLMAP text model")
 
         run_dense = (
-            (args.mvs or args.stereo or args.dense or args.combined)
+            (args.mvs or args.stereo or args.dense or args.combined
+             or args.mesh)
             and not args.fast
         )
         if run_dense and len(poses) >= 3:
             camera = pipeline.camera
             images = pipeline.image_set.color
 
-            if args.mvs:
+            if args.mvs or args.mesh:
                 from recon3d_tpu.dense.patchmatch import PatchMatchMVS
 
                 with timer.stage("patchmatch_mvs"):
                     rec = PatchMatchMVS(camera, cfg.patchmatch)
-                    dp, dc = rec.reconstruct(
+                    # maps only when meshing: pulling V depth maps to host
+                    # costs real time over a thin device link
+                    out = rec.reconstruct(
                         images, poses, sparse_points=points, mesh=mesh,
-                        checkpointer=ckpt,
+                        checkpointer=ckpt, return_maps=args.mesh,
+                    )
+                    (dp, dc), maps = out[:2], (
+                        out[2] if args.mesh else None
                     )
                 if len(dp):
                     save_ply(str(output_dir / "dense_mvs.ply"), dp, dc)
                     print(f"  dense_mvs.ply: {len(dp):,} points")
+
+                if args.mesh and maps is not None and len(dp):
+                    from recon3d_tpu.dense.mesh import (
+                        extract_mesh,
+                        mesh_vertex_colors,
+                    )
+                    from recon3d_tpu.dense.tsdf import fuse_tsdf
+                    from recon3d_tpu.io.ply import save_mesh_ply
+
+                    with timer.stage("tsdf_mesh"):
+                        vol = fuse_tsdf(
+                            maps["depth"], maps["conf"], maps["K"],
+                            maps["Rs"], maps["ts"],
+                            sparse_points=dp,
+                            resolution=args.mesh_resolution,
+                            # conf counts NCC-consistent views; weight only
+                            # pixels the fusion itself would keep
+                            min_conf=float(cfg.patchmatch.min_views),
+                        )
+                        mv, mf = extract_mesh(vol)
+                        mc = mesh_vertex_colors(mv, dp, dc)
+                    if len(mf):
+                        save_mesh_ply(str(output_dir / "mesh.ply"), mv, mf, mc)
+                        print(f"  mesh.ply: {len(mv):,} verts, "
+                              f"{len(mf):,} faces")
 
             if args.stereo or args.combined:
                 from recon3d_tpu.dense.plane_sweep import PlaneSweepReconstructor

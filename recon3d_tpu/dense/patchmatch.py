@@ -375,14 +375,19 @@ class PatchMatchMVS:
         views_per_batch: int = 4,
         mesh=None,
         checkpointer=None,
+        return_maps: bool = False,
     ):
+        """With return_maps=True, returns (points, colors, maps) where maps
+        carries the per-view depth/confidence maps and their geometry —
+        the input the TSDF mesh stage (dense/tsdf.py) consumes."""
         cfg = self.config
         t0 = time.time()
         ids = sorted(poses.keys())
         V = len(ids)
         J = min(cfg.num_source_views, V - 1)
         if V < 3 or J < 2:
-            return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
+            empty = np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
+            return (*empty, None) if return_maps else empty
 
         scale = cfg.scale
         Hs = int(images.shape[1] * scale)
@@ -468,9 +473,13 @@ class PatchMatchMVS:
                 jnp.concatenate([o.confidence for o in batch_outs], axis=0),
                 rows_j, axis=0,
             )
-            return self._fuse_and_filter(
+            pts, cols = self._fuse_and_filter(
                 depth_all, conf_all, K, Rs, ts, small, row, ids, t0, t_prep, V
             )
+            if return_maps:
+                return pts, cols, self._maps_dict(
+                    depth_all, conf_all, K, Rs, ts, ids)
+            return pts, cols
 
         computed: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         if todo and use_mesh:
@@ -518,9 +527,24 @@ class PatchMatchMVS:
         maps = {**loaded, **computed}
         depth_all = jnp.asarray(np.stack([maps[v][0] for v in range(V)]))
         conf_all = jnp.asarray(np.stack([maps[v][1] for v in range(V)]))
-        return self._fuse_and_filter(
+        pts, cols = self._fuse_and_filter(
             depth_all, conf_all, K, Rs, ts, small, row, ids, t0, t_prep, V
         )
+        if return_maps:
+            return pts, cols, self._maps_dict(
+                depth_all, conf_all, K, Rs, ts, ids)
+        return pts, cols
+
+    @staticmethod
+    def _maps_dict(depth_all, conf_all, K, Rs, ts, ids):
+        return {
+            "depth": np.asarray(depth_all),
+            "conf": np.asarray(conf_all),
+            "K": np.asarray(K),
+            "Rs": np.asarray(Rs),
+            "ts": np.asarray(ts),
+            "ids": list(ids),
+        }
 
     def _depth_batches(
         self, positions, ids, grays, sources, Rs, ts, ranges, K, keys_np,

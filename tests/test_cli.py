@@ -97,3 +97,20 @@ def test_cli_colmap_export_import(image_dir, tmp_path):
     p1, _ = _load(str(out1 / "sparse.ply"))
     p2, _ = _load(str(out2 / "sparse.ply"))
     np.testing.assert_allclose(p2, p1, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_cli_mesh_end_to_end(image_dir, tmp_path):
+    """--mesh: images -> TSDF mesh.ply alongside the MVS cloud."""
+    from recon3d_tpu.io.ply import load_mesh_ply
+
+    out = tmp_path / "r_mesh"
+    rc = main([image_dir, "--output", str(out), "--seed", "1",
+               "--mesh", "--mesh-resolution", "96"])
+    assert rc == 0
+    assert (out / "dense_mvs.ply").exists()
+    verts, faces, cols = load_mesh_ply(str(out / "mesh.ply"))
+    assert len(verts) > 200 and len(faces) > 400
+    assert cols is not None and cols.shape == verts.shape
+    # faces index valid vertices
+    assert faces.min() >= 0 and faces.max() < len(verts)
