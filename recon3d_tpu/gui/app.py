@@ -58,6 +58,7 @@ RESULT_CANDIDATES = [
     "dense_mvs.ply",
     "dense_stereo.ply",
     "dense.ply",
+    "mesh.ply",  # TSDF mesh: viewer shows its vertices as a cloud
     "sparse.ply",
 ]
 

@@ -50,6 +50,8 @@ def build_command(dataset: str, options: Dict) -> List[str]:
             args.append("--dense")
         else:
             args.append("--fast")
+        if options.get("mesh"):
+            args.append("--mesh")
         if options.get("max_images") is not None:
             args.extend(["--max-images", str(options["max_images"])])
         if options.get("output"):
