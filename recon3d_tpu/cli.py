@@ -265,6 +265,7 @@ def main(argv=None) -> int:
                             maps["depth"], maps["conf"], maps["K"],
                             maps["Rs"], maps["ts"],
                             sparse_points=dp,
+                            mesh=mesh,
                             resolution=args.mesh_resolution,
                             # conf counts NCC-consistent views; weight only
                             # pixels the fusion itself would keep

@@ -45,22 +45,14 @@ def bounds_from_points(
     return lo - pad, hi + pad
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _integrate_views(
-    depths: jnp.ndarray,   # (V, H, W)
-    confs: jnp.ndarray,    # (V, H, W) >= 0; 0 = invalid pixel
-    K: jnp.ndarray,        # (3, 3)
-    Rs: jnp.ndarray,       # (V, 3, 3)
-    ts: jnp.ndarray,       # (V, 3)
-    origin: jnp.ndarray,   # (3,)
-    voxel: jnp.ndarray,    # scalar
-    trunc: jnp.ndarray,    # scalar
-    n: int,
-):
-    """Fuse V depth maps into an (n, n, n) TSDF. One scan step per view:
-    project all n^3 voxel centers, nearest-sample depth + confidence, and
-    running-average the truncated SDF. Flattened (n^3,) layout keeps every
-    op a big dense vector op."""
+def _accumulate_views(depths, confs, K, Rs, ts, origin, voxel, trunc, n,
+                      axis_name=None):
+    """Weighted-sum accumulation over views: returns (num, den) with
+    num = sum_v w_v * clamp(sdf_v), den = sum_v w_v, each (n^3,).
+
+    The weighted AVERAGE (Curless-Levoy) is order-independent, so this form
+    serves both the single-device scan and the multi-chip path (local
+    accumulation per view shard + one psum)."""
     idx = jnp.arange(n, dtype=jnp.float32)
     zz, yy, xx = jnp.meshgrid(idx, idx, idx, indexing="ij")
     X = origin[None, :] + voxel * jnp.stack(
@@ -68,7 +60,7 @@ def _integrate_views(
     )  # (M, 3) world voxel centers, x fastest
 
     def step(carry, view):
-        tsdf, weight = carry
+        num, den = carry
         depth, conf, R, t = view
         Xc = jnp.einsum("ij,mj->mi", R, X) + t[None, :]
         z = Xc[:, 2]
@@ -89,17 +81,58 @@ def _integrate_views(
         )
         w = jnp.where(ok, jnp.maximum(w_px, 0.0), 0.0)
         s = jnp.clip(sdf, -1.0, 1.0)
-        new_w = weight + w
-        tsdf = jnp.where(
-            new_w > 0, (tsdf * weight + s * w) / jnp.maximum(new_w, 1e-12),
-            tsdf,
-        )
-        return (tsdf, new_w), None
+        return (num + s * w, den + w), None
 
     M = n * n * n
-    init = (jnp.ones(M, jnp.float32), jnp.zeros(M, jnp.float32))
-    (tsdf, weight), _ = jax.lax.scan(step, init, (depths, confs, Rs, ts))
-    return tsdf.reshape(n, n, n), weight.reshape(n, n, n)
+    init = (jnp.zeros(M, jnp.float32), jnp.zeros(M, jnp.float32))
+    if axis_name is not None:
+        # under shard_map the carry must be marked device-varying, or the
+        # scan rejects the (unvarying init, varying output) type mismatch
+        init = jax.lax.pcast(init, axis_name, to="varying")
+    (num, den), _ = jax.lax.scan(step, init, (depths, confs, Rs, ts))
+    return num, den
+
+
+def _finalize(num, den, n):
+    tsdf = jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 1.0)
+    return tsdf.reshape(n, n, n), den.reshape(n, n, n)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _integrate_views(depths, confs, K, Rs, ts, origin, voxel, trunc, n):
+    """Single-device fusion: scan-accumulate then finalize."""
+    num, den = _accumulate_views(
+        depths, confs, K, Rs, ts, origin, voxel, trunc, n
+    )
+    return _finalize(num, den, n)
+
+
+def _integrate_views_sharded(
+    mesh, depths, confs, K, Rs, ts, origin, voxel, trunc, n
+):
+    """Multi-chip fusion: the view axis shards over the mesh's 'data' axis
+    (shard_map), each chip scan-accumulates its views against the full
+    voxel grid, and ONE psum pair combines the partial sums over ICI.
+    The reference integrates nothing (no volumetric stage at all); its
+    per-view GPU loops (mvs_patchmatch.py:104-123) are the closest analog."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(d, c, K_, R, t, o, vx, tr):
+        num, den = _accumulate_views(
+            d, c, K_, R, t, o, vx, tr, n, axis_name="data"
+        )
+        return jax.lax.psum(num, "data"), jax.lax.psum(den, "data")
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P(), P("data"), P("data"),
+                  P(), P(), P()),
+        out_specs=(P(), P()),
+    )
+    num, den = jax.jit(f)(depths, confs, K, Rs, ts, origin, voxel, trunc)
+    return _finalize(num, den, n)
 
 
 def fuse_tsdf(
@@ -113,6 +146,7 @@ def fuse_tsdf(
     trunc_voxels: float = 3.0,
     min_conf: float = 0.0,
     sparse_points: Optional[np.ndarray] = None,
+    mesh=None,
 ) -> TSDFVolume:
     """Fuse per-view depth maps into a TSDF volume.
 
@@ -121,6 +155,8 @@ def fuse_tsdf(
     bounds: (lo, hi) world AABB; derived from sparse_points (or from the
             depth maps' backprojection) when omitted.
     resolution: voxels per axis. trunc_voxels: truncation in voxel units.
+    mesh: optional jax.sharding.Mesh — views shard over its 'data' axis
+          (zero-weight padding views make V divisible; they contribute 0).
     """
     depths = np.asarray(depths, np.float32)
     V, H, W = depths.shape
@@ -145,7 +181,7 @@ def fuse_tsdf(
     voxel = float((hi - lo).max() / (resolution - 1))
     trunc = trunc_voxels * voxel
 
-    tsdf, weight = _integrate_views(
+    args = (
         jnp.asarray(depths),
         jnp.asarray(confs),
         jnp.asarray(K, jnp.float32),
@@ -154,8 +190,28 @@ def fuse_tsdf(
         jnp.asarray(lo, jnp.float32),
         jnp.float32(voxel),
         jnp.float32(trunc),
-        n=int(resolution),
     )
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        nd = mesh.shape["data"]
+        from recon3d_tpu.parallel.mesh import pad_to_multiple
+
+        dp, _ = pad_to_multiple(depths, nd, axis=0)
+        cp, _ = pad_to_multiple(confs, nd, axis=0)
+        Rp, _ = pad_to_multiple(np.asarray(Rs, np.float32), nd, axis=0)
+        tp, _ = pad_to_multiple(np.asarray(ts, np.float32), nd, axis=0)
+        # padded views: depth 0 + conf 0 => zero weight everywhere; give
+        # them identity rotations so the projection math stays finite
+        Rp[V:] = np.eye(3, dtype=np.float32)
+        tp[V:] = np.float32([0, 0, 1])
+        tsdf, weight = _integrate_views_sharded(
+            mesh,
+            jnp.asarray(dp), jnp.asarray(cp), args[2],
+            jnp.asarray(Rp), jnp.asarray(tp),
+            args[5], args[6], args[7],
+            n=int(resolution),
+        )
+    else:
+        tsdf, weight = _integrate_views(*args, n=int(resolution))
     return TSDFVolume(
         tsdf=np.asarray(tsdf),
         weight=np.asarray(weight),

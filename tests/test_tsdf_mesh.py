@@ -163,3 +163,21 @@ def test_mesh_ply_roundtrip(tmp_path):
         np.testing.assert_allclose(v2, verts, atol=1e-4)
         assert (f2 == faces).all()
         assert (c2 == cols).all()
+
+
+def test_tsdf_sharded_matches_single_device():
+    """fuse_tsdf(mesh=8 CPU devices) == single-device fusion (one psum of
+    order-independent weighted sums; only float summation order differs)."""
+    import jax
+    from recon3d_tpu.parallel.mesh import make_mesh
+    from recon3d_tpu.config import MeshConfig
+
+    depths, K, Rs, ts = _sphere_depth_maps(n_views=6, H=48, W=64)
+    bounds = (np.float32([-1.1] * 3), np.float32([1.1] * 3))
+    single = fuse_tsdf(depths, None, K, Rs, ts, bounds=bounds, resolution=40)
+    mesh = make_mesh(MeshConfig(model_parallel=1),
+                     devices=jax.devices()[:8])
+    shard = fuse_tsdf(depths, None, K, Rs, ts, bounds=bounds, resolution=40,
+                      mesh=mesh)
+    np.testing.assert_allclose(shard.weight, single.weight, atol=1e-5)
+    np.testing.assert_allclose(shard.tsdf, single.tsdf, atol=1e-5)
