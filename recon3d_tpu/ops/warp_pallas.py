@@ -33,17 +33,32 @@ _COLS = 2048
 _TILE = _ROWS * _COLS
 
 
-def _tent_warp_kernel(imgT_ref, xs_ref, ys_ref, out_ref):
-    """out[p] = sum_h sum_w tent(y_p - h) * img[h, w] * tent(x_p - w)."""
+def _tent_warp_kernel(imgT_ref, xs_ref, ys_ref, out_ref, *, mxu_dtype,
+                      emulate=False):
+    """out[p] = sum_h sum_w tent(y_p - h) * img[h, w] * tent(x_p - w).
+
+    mxu_dtype: dtype fed to the MXU contraction (f32 accumulate either
+    way). float32 keeps the result bit-comparable to ops.image
+    bilinear_sample; bfloat16 runs the (W, H) @ (H, COLS) contraction at
+    the MXU's native rate — fp32 matmuls lower to multi-pass bf16 on
+    TPU — at ~3e-3 relative error, far below what an 11x11 NCC notices."""
     W, H = imgT_ref.shape
     ih = jax.lax.broadcasted_iota(jnp.int32, (H, _COLS), 0).astype(jnp.float32)
     iw = jax.lax.broadcasted_iota(jnp.int32, (W, _COLS), 0).astype(jnp.float32)
-    imgT = imgT_ref[:]
+    # emulate=True (interpret mode on CPU): the CPU thunk cannot execute a
+    # bf16 x bf16 -> f32 dot, so round the inputs through mxu_dtype and dot
+    # in f32 — numerically equivalent (bf16 products are exact in f32).
+    def lo(a):
+        a = a.astype(mxu_dtype)
+        return a.astype(jnp.float32) if emulate else a
+
+    imgT = lo(imgT_ref[:])
     for r in range(_ROWS):
         y = ys_ref[0, r, :]                            # (512,) on lanes
         x = xs_ref[0, r, :]
         wyT = jnp.maximum(0.0, 1.0 - jnp.abs(ih - y[None, :]))   # (H, 512)
-        rowsT = jnp.dot(imgT, wyT, preferred_element_type=jnp.float32)
+        rowsT = jnp.dot(imgT, lo(wyT),
+                        preferred_element_type=jnp.float32)
         wxT = jnp.maximum(0.0, 1.0 - jnp.abs(iw - x[None, :]))   # (W, 512)
         out_ref[0, r, :] = jnp.sum(rowsT * wxT, axis=0)
 
@@ -51,9 +66,9 @@ def _tent_warp_kernel(imgT_ref, xs_ref, ys_ref, out_ref):
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "mxu_dtype"))
 def _tent_warp_flat(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
-                    interpret: bool = False):
+                    interpret: bool = False, mxu_dtype=jnp.float32):
     """img (H, W) f32; xs, ys (P,) finite, pre-clipped to the image bounds.
     Returns (P,) bilinear samples. interpret=True runs the Pallas
     interpreter (any backend — used by the CPU test suite for parity)."""
@@ -64,7 +79,8 @@ def _tent_warp_flat(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     xs_p = jnp.pad(xs, (0, Pp - P)).reshape(n_tiles, _ROWS, _COLS)
     ys_p = jnp.pad(ys, (0, Pp - P)).reshape(n_tiles, _ROWS, _COLS)
     out = pl.pallas_call(
-        _tent_warp_kernel,
+        functools.partial(_tent_warp_kernel, mxu_dtype=mxu_dtype,
+                          emulate=interpret),
         out_shape=jax.ShapeDtypeStruct((n_tiles, _ROWS, _COLS), jnp.float32),
         grid=(n_tiles,),
         in_specs=[
@@ -87,9 +103,11 @@ def _tent_warp_flat(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
 
 
 def bilinear_sample_pallas(img: jnp.ndarray, coords: jnp.ndarray,
-                           fill: float = 0.0, interpret: bool = False):
+                           fill: float = 0.0, interpret: bool = False,
+                           mxu_dtype=jnp.float32):
     """Drop-in for ops.image.bilinear_sample (2D images): same values, same
-    validity semantics, Pallas tent-warp kernel underneath."""
+    validity semantics, Pallas tent-warp kernel underneath. mxu_dtype=
+    jnp.bfloat16 trades ~3e-3 relative error for the MXU's native rate."""
     H, W = img.shape
     x = coords[..., 0]
     y = coords[..., 1]
@@ -101,6 +119,7 @@ def bilinear_sample_pallas(img: jnp.ndarray, coords: jnp.ndarray,
     yc = jnp.clip(jnp.where(jnp.isfinite(y), y, 0.0), 0, H - 1)
     shape = xc.shape
     out = _tent_warp_flat(
-        img, xc.reshape(-1), yc.reshape(-1), interpret=interpret
+        img, xc.reshape(-1), yc.reshape(-1), interpret=interpret,
+        mxu_dtype=mxu_dtype,
     ).reshape(shape)
     return jnp.where(valid, out, fill), valid

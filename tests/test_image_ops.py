@@ -167,3 +167,22 @@ def test_bilinear_sample_pallas_matches_gather(rng):
     b, vb = bilinear_sample_pallas(img, jnp.asarray(coords), interpret=True)
     np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_bilinear_sample_pallas_bf16_error_bound(rng):
+    """bfloat16 MXU contraction stays within the documented ~3e-3 relative
+    error of the exact f32 path (for [0,1] image values)."""
+    from recon3d_tpu.ops.image import bilinear_sample
+    from recon3d_tpu.ops.warp_pallas import bilinear_sample_pallas
+
+    img = jnp.asarray(rng.random((48, 64)).astype(np.float32))
+    coords = (rng.random((4096, 2)) * np.array([63.0, 47.0])).astype(
+        np.float32
+    )
+    a, va = bilinear_sample(img, jnp.asarray(coords))
+    b, vb = bilinear_sample_pallas(
+        img, jnp.asarray(coords), interpret=True, mxu_dtype=jnp.bfloat16
+    )
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    err = np.abs(np.asarray(a) - np.asarray(b))
+    assert err.max() < 8e-3 and err.mean() < 1.5e-3
