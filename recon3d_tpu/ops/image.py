@@ -203,15 +203,26 @@ def bilinear_sample_auto(
     img: jnp.ndarray, coords: jnp.ndarray, fill: float = 0.0
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """bilinear_sample with automatic TPU dispatch: MXU formulation for
-    small 2D images, gather formulation otherwise."""
+    small 2D images, gather formulation otherwise.
+
+    RECON3D_WARP_MXU_DTYPE=bf16 switches the Pallas contraction to native
+    bfloat16 inputs (~3e-3 relative error) — measurement knob for the
+    dense-path throughput A/B; default stays exact f32."""
     if (
         img.ndim == 2
         and img.shape[0] * img.shape[1] <= _MXU_SAMPLE_MAX_PIXELS
         and jax.default_backend() == "tpu"
     ):
+        import os
+
         from recon3d_tpu.ops.warp_pallas import bilinear_sample_pallas
 
-        return bilinear_sample_pallas(img, coords, fill)
+        dt = (
+            jnp.bfloat16
+            if os.environ.get("RECON3D_WARP_MXU_DTYPE") == "bf16"
+            else jnp.float32
+        )
+        return bilinear_sample_pallas(img, coords, fill, mxu_dtype=dt)
     return bilinear_sample(img, coords, fill)
 
 
