@@ -233,62 +233,74 @@ def main(argv=None) -> int:
         if run_dense and len(poses) >= 3:
             camera = pipeline.camera
             images = pipeline.image_set.color
+            # --mesh fuses the depth maps of whichever dense stage ran
+            # (plane-sweep if --stereo was given without --mvs, else MVS)
+            mesh_from_stereo = args.mesh and args.stereo and not args.mvs
+            mesh_maps, mesh_cloud = None, None
 
-            if args.mvs or args.mesh:
+            if args.mvs or (args.mesh and not mesh_from_stereo):
                 from recon3d_tpu.dense.patchmatch import PatchMatchMVS
 
+                want_maps = args.mesh and not mesh_from_stereo
                 with timer.stage("patchmatch_mvs"):
                     rec = PatchMatchMVS(camera, cfg.patchmatch)
                     # maps only when meshing: pulling V depth maps to host
                     # costs real time over a thin device link
                     out = rec.reconstruct(
                         images, poses, sparse_points=points, mesh=mesh,
-                        checkpointer=ckpt, return_maps=args.mesh,
+                        checkpointer=ckpt, return_maps=want_maps,
                     )
-                    (dp, dc), maps = out[:2], (
-                        out[2] if args.mesh else None
-                    )
+                    dp, dc = out[:2]
+                    if want_maps:
+                        mesh_maps, mesh_cloud = out[2], (dp, dc)
+                        mesh_min_conf = float(cfg.patchmatch.min_views)
                 if len(dp):
                     save_ply(str(output_dir / "dense_mvs.ply"), dp, dc)
                     print(f"  dense_mvs.ply: {len(dp):,} points")
-
-                if args.mesh and maps is not None and len(dp):
-                    from recon3d_tpu.dense.mesh import (
-                        extract_mesh,
-                        mesh_vertex_colors,
-                    )
-                    from recon3d_tpu.dense.tsdf import fuse_tsdf
-                    from recon3d_tpu.io.ply import save_mesh_ply
-
-                    with timer.stage("tsdf_mesh"):
-                        vol = fuse_tsdf(
-                            maps["depth"], maps["conf"], maps["K"],
-                            maps["Rs"], maps["ts"],
-                            sparse_points=dp,
-                            mesh=mesh,
-                            resolution=args.mesh_resolution,
-                            # conf counts NCC-consistent views; weight only
-                            # pixels the fusion itself would keep
-                            min_conf=float(cfg.patchmatch.min_views),
-                        )
-                        mv, mf = extract_mesh(vol)
-                        mc = mesh_vertex_colors(mv, dp, dc)
-                    if len(mf):
-                        save_mesh_ply(str(output_dir / "mesh.ply"), mv, mf, mc)
-                        print(f"  mesh.ply: {len(mv):,} verts, "
-                              f"{len(mf):,} faces")
 
             if args.stereo or args.combined:
                 from recon3d_tpu.dense.plane_sweep import PlaneSweepReconstructor
 
                 with timer.stage("plane_sweep"):
                     rec = PlaneSweepReconstructor(camera, cfg.plane_sweep)
-                    dp, dc = rec.reconstruct(
-                        images, poses, sparse_points=points, mesh=mesh
+                    out = rec.reconstruct(
+                        images, poses, sparse_points=points, mesh=mesh,
+                        return_maps=mesh_from_stereo,
                     )
+                    dp, dc = out[:2]
+                    if mesh_from_stereo:
+                        mesh_maps, mesh_cloud = out[2], (dp, dc)
+                        mesh_min_conf = float(cfg.plane_sweep.min_views)
                 if len(dp):
                     save_ply(str(output_dir / "dense_stereo.ply"), dp, dc)
                     print(f"  dense_stereo.ply: {len(dp):,} points")
+
+            if args.mesh and mesh_maps is not None and len(mesh_cloud[0]):
+                from recon3d_tpu.dense.mesh import (
+                    extract_mesh,
+                    mesh_vertex_colors,
+                )
+                from recon3d_tpu.dense.tsdf import fuse_tsdf
+                from recon3d_tpu.io.ply import save_mesh_ply
+
+                dp, dc = mesh_cloud
+                with timer.stage("tsdf_mesh"):
+                    vol = fuse_tsdf(
+                        mesh_maps["depth"], mesh_maps["conf"],
+                        mesh_maps["K"], mesh_maps["Rs"], mesh_maps["ts"],
+                        sparse_points=dp,
+                        mesh=mesh,
+                        resolution=args.mesh_resolution,
+                        # conf counts NCC-consistent views; weight only
+                        # pixels the stage's own fusion would keep
+                        min_conf=mesh_min_conf,
+                    )
+                    mv, mf = extract_mesh(vol)
+                    mc = mesh_vertex_colors(mv, dp, dc)
+                if len(mf):
+                    save_mesh_ply(str(output_dir / "mesh.ply"), mv, mf, mc)
+                    print(f"  mesh.ply: {len(mv):,} verts, "
+                          f"{len(mf):,} faces")
 
             if args.dense or args.combined:
                 from recon3d_tpu.dense.sift_dense import DenseSiftReconstructor

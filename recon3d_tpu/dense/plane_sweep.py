@@ -246,13 +246,18 @@ class PlaneSweepReconstructor:
         sparse_points: Optional[np.ndarray] = None,
         max_ref_views: Optional[int] = None,
         mesh=None,
+        return_maps: bool = False,
     ):
+        """With return_maps=True, returns (points, colors, maps) — per-ref
+        depth/consistency-count maps for the TSDF mesh stage (same contract
+        as PatchMatchMVS.reconstruct)."""
         cfg = self.config
         t0 = time.time()
         ids = sorted(poses.keys())
         V = len(ids)
         if V < 2:
-            return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
+            empty = np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
+            return (*empty, None) if return_maps else empty
 
         scale = cfg.scale
         Hs = int(images.shape[1] * scale)
@@ -371,7 +376,8 @@ class PlaneSweepReconstructor:
         # points cross the link.
         points, sel_idx = fused_points_compact(pts_b, mask_b)
         if len(points) == 0:
-            return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
+            empty = np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
+            return (*empty, None) if return_maps else empty
         colors = (
             small[[id_row[i] for i in ref_ids]].reshape(-1, 3)[sel_idx] * 255
         ).astype(np.uint8)
@@ -382,6 +388,16 @@ class PlaneSweepReconstructor:
         points, colors = voxel_downsample(points, colors, cfg.voxel_size)
         print(f"[plane-sweep] {len(points)} points from {len(ref_ids)} ref views "
               f"({time.time() - t0:.1f}s)")
+        if return_maps:
+            maps = {
+                "depth": np.asarray(depth_b),
+                "conf": np.asarray(cnt_b).astype(np.float32),
+                "K": np.asarray(K, np.float32),
+                "Rs": np.asarray(R_refs),
+                "ts": np.asarray(t_refs),
+                "ids": list(ref_ids),
+            }
+            return points, colors, maps
         return points, colors
 
 
