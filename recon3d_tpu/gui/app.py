@@ -36,6 +36,7 @@ def collect_options(
     use_gpu: bool = True,
     max_images: Optional[int] = None,
     output: Optional[str] = None,
+    mesh: bool = False,
 ) -> Dict:
     """Merge the widget panel state into a preset's options dict — the
     headless core of the reference's start_reconstruction widget->flags
@@ -49,6 +50,8 @@ def collect_options(
     else:
         if max_images is not None and max_images > 5:
             options["max_images"] = max_images
+        if mesh:
+            options["mesh"] = True
     if output:
         options["output"] = output
     return options
@@ -132,6 +135,9 @@ if HAS_QT:  # pragma: no cover - needs a display
             self.max_spin.setValue(0)
             self.max_spin.setSpecialValueText("all")
             opt_row.addWidget(self.max_spin)
+            self.mesh_check = QtWidgets.QCheckBox("TSDF mesh")
+            self.mesh_check.setChecked(False)
+            opt_row.addWidget(self.mesh_check)
             opt_row.addWidget(QtWidgets.QLabel("Output:"))
             self.out_edit = QtWidgets.QLineEdit()
             self.out_edit.setPlaceholderText("<dataset>/reconstruction")
@@ -175,7 +181,7 @@ if HAS_QT:  # pragma: no cover - needs a display
             is_colmap = preset.get("method", "").startswith("colmap")
             for w in (self.quality_label, self.quality_box, self.gpu_check):
                 w.setVisible(is_colmap)
-            for w in (self.max_label, self.max_spin):
+            for w in (self.max_label, self.max_spin, self.mesh_check):
                 w.setVisible(not is_colmap)
 
         def _status_changed(self, text: str):
@@ -200,6 +206,7 @@ if HAS_QT:  # pragma: no cover - needs a display
                 use_gpu=self.gpu_check.isChecked(),
                 max_images=self.max_spin.value() or None,
                 output=out,
+                mesh=self.mesh_check.isChecked(),
             )
             self._out_dir = out
             self.worker = ReconstructionWorker(

@@ -153,3 +153,16 @@ def test_colmap_wrapper_gated(tmp_path):
     if find_colmap() is None:
         # graceful degradation without the binary
         assert run_colmap_reconstruction(str(tmp_path), str(tmp_path / "o")) is False
+
+
+def test_collect_options_mesh():
+    from recon3d_tpu.gui.app import collect_options
+    from recon3d_tpu.runtime.worker import build_command
+
+    opts = collect_options({"mvs": True}, mesh=True, max_images=10)
+    assert opts["mesh"] and opts["max_images"] == 10
+    cmd = build_command("imgs", opts)
+    assert "--mesh" in cmd and "--mvs" in cmd
+    # COLMAP methods ignore the mesh checkbox (no such flag there)
+    opts = collect_options({"method": "colmap_dense"}, mesh=True)
+    assert "mesh" not in opts
