@@ -21,6 +21,32 @@ import numpy as np
 
 BASELINE_MP_S = 0.0167  # reference torch-CPU PatchMatch, measured 2026-08-16
 
+
+def _probe_backend(timeout_s: float = 180.0, retries: int = 3) -> bool:
+    """Fail fast when the device backend is unreachable. jax backend init
+    blocks INDEFINITELY if the axon tunnel is down (observed: >1 h), which
+    would hang the whole bench; probe it in a killable subprocess first."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp; "
+        "x = jax.jit(lambda a: (a@a).sum())(jnp.ones((128,128))); "
+        "x.block_until_ready(); print('BENCH_BACKEND_OK')"
+    )
+    for attempt in range(retries):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=timeout_s, capture_output=True, text=True,
+            )
+            if "BENCH_BACKEND_OK" in out.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# backend probe {attempt + 1}/{retries} failed", flush=True)
+    return False
+
 # Scene: mirrors the reference baseline measurement exactly.
 H, W, V = 480, 640, 4
 SCALE = 0.25
@@ -30,6 +56,16 @@ PATCH = 11
 
 
 def main():
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "patchmatch_mvs_depthmap_throughput",
+            "value": 0.0,
+            "unit": "MP/s/chip",
+            "vs_baseline": 0.0,
+            "error": "device backend unreachable (tunnel down?)",
+        }))
+        raise SystemExit(1)
+
     import jax
     import jax.numpy as jnp
 
