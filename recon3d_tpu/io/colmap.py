@@ -294,9 +294,20 @@ def load_colmap_text(model_dir: str) -> ColmapModel:
     with open(os.path.join(model_dir, "images.txt")) as f:
         lines = [
             ln.rstrip("\n") for ln in f
-            if ln.strip() and not ln.lstrip().startswith("#")
+            if not ln.lstrip().startswith("#")
         ]
-    for hdr, pts in zip(lines[0::2], lines[1::2]):
+    # Two lines per record; the POINTS2D line may be EMPTY (an image with
+    # no tracked keypoints), so blank lines are only skipped when a header
+    # is expected.
+    records = []
+    i = 0
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1
+            continue
+        records.append((lines[i], lines[i + 1] if i + 1 < len(lines) else ""))
+        i += 2
+    for hdr, pts in records:
         parts = hdr.split()
         image_id = int(parts[0])
         vals = pts.split()

@@ -149,3 +149,22 @@ def test_pipeline_export_and_cli_import(tmp_path):
         R, t = np.asarray(poses[c].R), np.asarray(poses[c].t)
         np.testing.assert_allclose(got[c + 1][0], R, atol=1e-6)
         np.testing.assert_allclose(got[c + 1][1], t.reshape(3), atol=1e-6)
+
+
+def test_image_with_no_tracked_points(tmp_path):
+    """An image whose POINTS2D line is empty must not derail the parser."""
+    K = np.array([[100.0, 0, 50], [0, 100.0, 40], [0, 0, 1]], np.float32)
+    poses = {0: (np.eye(3, dtype=np.float32), np.float32([0, 0, 0])),
+             1: (np.eye(3, dtype=np.float32), np.float32([1, 0, 0]))}
+    pts = np.array([[0, 0, 5.0]], np.float64)
+    # only camera 0 observes the point; camera 1 has an empty 2D list
+    obs = [[(0, 0)]]
+    kp = [np.array([[50.0, 40.0]], np.float32), np.zeros((0, 2), np.float32)]
+    out = tmp_path / "m"
+    save_colmap_text(str(out), K, (80, 100), poses, pts, None,
+                     observations=obs, kp_xy=kp, names=["a.png", "b.png"])
+    m = load_colmap_text(str(out))
+    assert len(m.images) == 2
+    assert m.images[1].xys.shape == (1, 2)
+    assert m.images[2].xys.shape == (0, 2)
+    assert m.images[2].name == "b.png"
