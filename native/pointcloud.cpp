@@ -128,6 +128,106 @@ int knn_mean_dist(const float* points, long long n, int k, float* out) {
     return 0;
 }
 
+// Nearest reference point for every query point (exact), via the same
+// spatial hash: shells of cells are scanned outward until no closer shell
+// can exist. Serves mesh-vertex coloring (dense/mesh.py), where query and
+// reference counts both reach millions and the O(m*n) host fallback
+// crawls. Returns 0 on success.
+int nearest_index(const float* ref, long long n, const float* query,
+                  long long m, long long* out_idx) {
+    if (n <= 0 || m <= 0) return -1;
+
+    if (n <= 256) {  // brute force beats any grid at this size
+        for (long long qi = 0; qi < m; ++qi) {
+            const float* q = query + 3 * qi;
+            long long best = 0;
+            float best_d2 = 0.f;
+            for (long long j = 0; j < n; ++j) {
+                float ddx = q[0] - ref[3 * j];
+                float ddy = q[1] - ref[3 * j + 1];
+                float ddz = q[2] - ref[3 * j + 2];
+                float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+                if (j == 0 || d2 < best_d2) { best = j; best_d2 = d2; }
+            }
+            out_idx[qi] = best;
+        }
+        return 0;
+    }
+
+    float lo[3] = {ref[0], ref[1], ref[2]};
+    float hi[3] = {ref[0], ref[1], ref[2]};
+    for (long long i = 0; i < n; ++i)
+        for (int d = 0; d < 3; ++d) {
+            lo[d] = std::min(lo[d], ref[3 * i + d]);
+            hi[d] = std::max(hi[d], ref[3 * i + d]);
+        }
+    float diag2 = 0;
+    for (int d = 0; d < 3; ++d) diag2 += (hi[d] - lo[d]) * (hi[d] - lo[d]);
+    const float diag = std::sqrt(std::max(diag2, 1e-12f));
+    float vol = std::max(
+        (hi[0] - lo[0]) * (hi[1] - lo[1]) * (hi[2] - lo[2]), 1e-12f);
+    // ~2 reference points per occupied cell for uniform density; the
+    // diag/256 floor bounds the worst-case shell walk for flat/degenerate
+    // distributions (a near-zero volume otherwise collapses the cell size
+    // and the search space explodes)
+    float cell = std::cbrt(vol * 2.0f / static_cast<float>(n));
+    cell = std::max(cell, diag / 256.0f);
+    const float inv = 1.0f / cell;
+
+    std::unordered_map<CellKey, std::vector<int64_t>, CellHash> grid;
+    grid.reserve(static_cast<size_t>(n));
+    for (long long i = 0; i < n; ++i)
+        grid[cell_of(ref + 3 * i, inv)].push_back(i);
+
+    const int max_ring = 2 + static_cast<int>(diag * inv);
+    for (long long qi = 0; qi < m; ++qi) {
+        const float* q = query + 3 * qi;
+        CellKey c = cell_of(q, inv);
+        long long best = -1;
+        float best_d2 = 0.f;
+        auto probe = [&](int64_t dx, int64_t dy, int64_t dz) {
+            auto it = grid.find(CellKey{c.x + dx, c.y + dy, c.z + dz});
+            if (it == grid.end()) return;
+            for (int64_t j : it->second) {
+                float ddx = q[0] - ref[3 * j];
+                float ddy = q[1] - ref[3 * j + 1];
+                float ddz = q[2] - ref[3 * j + 2];
+                float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+                if (best < 0 || d2 < best_d2) { best = j; best_d2 = d2; }
+            }
+        };
+        for (int ring = 0; ring <= max_ring; ++ring) {
+            // a cell at Chebyshev ring r is at least (r-1)*cell away
+            if (best >= 0) {
+                const float reach = (static_cast<float>(ring) - 1.f) * cell;
+                if (reach > 0.f && reach * reach > best_d2) break;
+            }
+            if (ring == 0) {
+                probe(0, 0, 0);
+                continue;
+            }
+            // faces only: O(ring^2) per shell, not O(ring^3)
+            for (int64_t dy = -ring; dy <= ring; ++dy)
+                for (int64_t dz = -ring; dz <= ring; ++dz) {
+                    probe(-ring, dy, dz);
+                    probe(ring, dy, dz);
+                }
+            for (int64_t dx = -ring + 1; dx <= ring - 1; ++dx)
+                for (int64_t dz = -ring; dz <= ring; ++dz) {
+                    probe(dx, -ring, dz);
+                    probe(dx, ring, dz);
+                }
+            for (int64_t dx = -ring + 1; dx <= ring - 1; ++dx)
+                for (int64_t dy = -ring + 1; dy <= ring - 1; ++dy) {
+                    probe(dx, dy, -ring);
+                    probe(dx, dy, ring);
+                }
+        }
+        out_idx[qi] = best < 0 ? 0 : best;
+    }
+    return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

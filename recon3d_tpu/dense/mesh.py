@@ -210,11 +210,19 @@ def mesh_vertex_colors(
     colors: np.ndarray,
     k: int = 1,
 ) -> np.ndarray:
-    """Color mesh vertices from the nearest fused cloud point (host numpy,
-    chunked brute-force — vertex and point counts are both bounded by the
-    dense stage's own output size)."""
+    """Color mesh vertices from the nearest fused cloud point. Exact
+    grid-hash NN in the native C++ runtime (native/pointcloud.cpp
+    nearest_index — both counts reach millions on real scenes); chunked
+    numpy brute force when the library is unavailable."""
     if len(points) == 0 or len(verts) == 0:
         return np.full((len(verts), 3), 180, np.uint8)
+
+    from recon3d_tpu.runtime.native import native_nearest_index
+
+    idx = native_nearest_index(verts, points)
+    if idx is not None:
+        return colors[idx]
+
     out = np.empty((len(verts), 3), np.uint8)
     step = max(1, 2_000_000 // max(len(points), 1))
     for i in range(0, len(verts), step):

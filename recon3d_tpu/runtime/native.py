@@ -51,6 +51,17 @@ def _load():
                 ctypes.POINTER(ctypes.c_float),
             ]
             try:
+                lib.nearest_index.restype = ctypes.c_int
+                lib.nearest_index.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),     # ref
+                    ctypes.c_longlong,                  # n
+                    ctypes.POINTER(ctypes.c_float),     # query
+                    ctypes.c_longlong,                  # m
+                    ctypes.POINTER(ctypes.c_longlong),  # out indices
+                ]
+            except AttributeError:
+                pass  # older .so without nearest_index
+            try:
                 lib.ply_write_ascii_rows.restype = ctypes.c_int
                 lib.ply_write_ascii_rows.argtypes = [
                     ctypes.c_char_p,
@@ -107,6 +118,31 @@ def native_knn_mean_dist(points: np.ndarray, k: int) -> Optional[np.ndarray]:
         ctypes.c_longlong(len(pts)),
         ctypes.c_int(k),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        return None
+    return out
+
+
+def native_nearest_index(
+    query: np.ndarray, ref: np.ndarray
+) -> Optional[np.ndarray]:
+    """Index of the nearest `ref` point for every `query` point (exact,
+    grid-hash shells), or None if the library lacks the entry point."""
+    lib = _load()
+    if lib is None or len(ref) == 0 or len(query) == 0:
+        return None
+    if not hasattr(lib, "nearest_index"):
+        return None
+    r = np.ascontiguousarray(ref, np.float32)
+    q = np.ascontiguousarray(query, np.float32)
+    out = np.empty(len(q), np.int64)
+    rc = lib.nearest_index(
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_longlong(len(r)),
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_longlong(len(q)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
     )
     if rc != 0:
         return None

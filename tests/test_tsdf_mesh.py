@@ -181,3 +181,21 @@ def test_tsdf_sharded_matches_single_device():
                       mesh=mesh)
     np.testing.assert_allclose(shard.weight, single.weight, atol=1e-5)
     np.testing.assert_allclose(shard.tsdf, single.tsdf, atol=1e-5)
+
+
+def test_native_nearest_index_exact():
+    """Grid-hash NN matches brute force exactly (when the library built)."""
+    from recon3d_tpu.runtime.native import native_nearest_index
+
+    rng = np.random.default_rng(7)
+    ref = rng.normal(size=(3000, 3)).astype(np.float32)
+    q = rng.normal(size=(500, 3)).astype(np.float32) * 1.5  # some far out
+    idx = native_nearest_index(q, ref)
+    if idx is None:
+        pytest.skip("native library unavailable")
+    d = np.linalg.norm(q[:, None, :] - ref[None, :, :], axis=-1)
+    brute = np.argmin(d, axis=1)
+    # ties can differ in index; compare distances
+    np.testing.assert_allclose(
+        d[np.arange(len(q)), idx], d[np.arange(len(q)), brute], rtol=1e-6
+    )
