@@ -90,10 +90,20 @@ def load_from_colmap(pipeline, model_dir: str, image_dir: str,
     the reference cannot do in either direction."""
     import os as _os
 
+    import jax.numpy as jnp
+
     from recon3d_tpu.camera import Camera
     from recon3d_tpu.io.colmap import load_colmap_text
 
     model = load_colmap_text(model_dir)
+    # Adopt the model's intrinsics (original resolution) BEFORE loading:
+    # load_images then rescales K to the working resolution and undistorts
+    # the pixels exactly as it does for a calibrated run, so OPENCV /
+    # SIMPLE_RADIAL models work, not just PINHOLE.
+    cam = model.cameras[min(model.cameras)]
+    pipeline.camera = Camera(
+        K=jnp.asarray(cam.K()), dist=jnp.asarray(cam.dist())
+    )
     iset = pipeline.load_images(image_dir, max_images)
     name_to_idx = {n: i for i, n in enumerate(iset.names)}
 
@@ -110,18 +120,6 @@ def load_from_colmap(pipeline, model_dir: str, image_dir: str,
             f"ERROR: no image names in {model_dir}/images.txt match files "
             f"in {image_dir}"
         )
-
-    # The model's intrinsics describe the original image resolution; ours
-    # may be downscaled at load (ImageSet.scale). Rescale fx/fy/cx/cy.
-    cam = model.cameras[min(model.cameras)]
-    K = cam.K() * np.array(
-        [[iset.scale, 1, iset.scale], [1, iset.scale, iset.scale], [1, 1, 1]],
-        np.float32,
-    )
-    import dataclasses as _dc
-
-    pipeline.camera = Camera(K=K, dist=cam.dist())
-    pipeline.image_set = _dc.replace(iset, camera=pipeline.camera)
     pipeline.poses = dict(poses)
     pipeline.registered = set(poses.keys())
     pipeline.points3d = [p for p in model.points.astype(np.float32)]
