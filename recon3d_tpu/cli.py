@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write pipeline statistics + stage timings to a JSON file")
     p.add_argument("--devices", type=int, default=0,
                    help="Max devices to use (0 = all; 1 disables the mesh)")
+    p.add_argument("--global-sfm", action="store_true",
+                   help="Global SfM (rotation/translation averaging over "
+                        "the whole pose graph) instead of incremental "
+                        "registration")
     p.add_argument("--mesh", action="store_true",
                    help="Also extract a TSDF triangle mesh (mesh.ply) from "
                         "the PatchMatch depth maps (implies --mvs)")
@@ -208,6 +212,13 @@ def main(argv=None) -> int:
                     colors = np.stack(pipeline.point_colors) if pipeline.point_colors else np.zeros((0, 3), np.uint8)
                     pipeline.load_images(str(image_dir), args.max_images)
                     poses = dict(pipeline.poses)
+                elif args.global_sfm:
+                    points, colors, _ = pipeline.reconstruct_global(
+                        str(image_dir), args.max_images
+                    )
+                    poses = dict(pipeline.poses)
+                    if ckpt:
+                        ckpt.save_sparse(pipeline)
                 else:
                     points, colors, _ = pipeline.reconstruct(
                         str(image_dir), args.max_images

@@ -52,6 +52,8 @@ def build_command(dataset: str, options: Dict) -> List[str]:
             args.append("--fast")
         if options.get("mesh"):
             args.append("--mesh")
+        if options.get("global_sfm"):
+            args.append("--global-sfm")
         if options.get("max_images") is not None:
             args.extend(["--max-images", str(options["max_images"])])
         if options.get("output"):

@@ -1135,6 +1135,55 @@ class SfMPipeline:
 
             save_cameras_ply(path, stack_poses(poses))
 
+    def reconstruct_global(
+        self,
+        image_dir: Optional[str] = None,
+        max_images: Optional[int] = None,
+        image_set: Optional[ImageSet] = None,
+    ):
+        """Global SfM (sfm/global_sfm.py): rotation + translation averaging
+        over the whole pose graph instead of incremental registration —
+        capability beyond the reference. Same return contract as
+        reconstruct()."""
+        from recon3d_tpu.sfm.global_sfm import run_global_sfm
+
+        t0 = time.time()
+        if image_set is not None:
+            self.set_image_set(image_set)
+        elif image_dir is not None:
+            self.load_images(image_dir, max_images)
+        elif self.image_set is None:
+            raise ValueError("need image_dir or image_set")
+        self.stats["load_time"] = time.time() - t0
+        self.extract_features()
+        self.match_image_pairs()
+        t_g = time.time()
+        run_global_sfm(self)
+        self.stats["global_solve_time"] = time.time() - t_g
+        self.stats["total_time"] = time.time() - t0
+        self.stats["num_points"] = len(self.points3d)
+        self.stats["num_cameras"] = len(self.registered)
+        self.stats["mean_reproj_px"] = self._mean_reproj_error()
+        print(
+            f"[sfm] global: {len(self.points3d)} points, "
+            f"{len(self.registered)}/{len(self.features)} cameras, "
+            f"reproj {self.stats['mean_reproj_px']:.3f} px, "
+            f"{self.stats['total_time']:.1f}s"
+        )
+        points = (
+            np.stack(self.points3d) if self.points3d
+            else np.zeros((0, 3), np.float32)
+        )
+        colors = (
+            np.stack(self.point_colors) if self.point_colors
+            else np.zeros((0, 3), np.uint8)
+        )
+        poses = {
+            i: CameraPose(R=jnp.asarray(R), t=jnp.asarray(t))
+            for i, (R, t) in sorted(self.poses.items())
+        }
+        return points, colors, poses
+
     def save_colmap(self, out_dir: str):
         """Export the sparse model as a COLMAP text model (cameras.txt /
         images.txt / points3D.txt) with full 2D-3D tracks — consumable by
