@@ -204,9 +204,11 @@ def translation_averaging(ei, ej, t_rel, R, w, V,
         C = C.reshape(V, 3)
         # IRLS: downweight edges whose direction is violated
         proj = np.einsum("ea,ea->e", C[ej] - C[ei], d)
+        if not np.any(proj > 0):
+            break  # degenerate solve; keep the unweighted solution
         we = (w / max(w.max(), 1e-6)) / np.maximum(
             1.0, np.abs(proj - np.median(proj[proj > 0])) /
-            max(np.median(np.abs(proj)) , 1e-9)
+            max(np.median(np.abs(proj)), 1e-9)
         )
         we = np.where(proj <= 0, we * 0.1, we)
     if np.median(np.einsum("ea,ea->e", C[ej] - C[ei], d)) < 0:
@@ -347,6 +349,25 @@ def run_global_sfm(pipeline) -> None:
     pipeline._normalize_reconstruction()
 
 
+@jax.jit
+def _triangulate_gate(K, P_all, Rs, ts, cam_idx, xs, msk, gate_px):
+    """One vmapped masked N-view DLT + per-observation reprojection /
+    cheirality gates. Module-level jit: the repeated triangulate/BA rounds
+    reuse ONE compiled program (gate_px is a traced scalar)."""
+    Ps = jnp.take(P_all, cam_idx, axis=0)  # (T, Vmax, 3, 4)
+    X = jax.vmap(triangulate_nview)(Ps, xs, msk)
+    Rg = jnp.take(Rs, cam_idx, axis=0)
+    tg = jnp.take(ts, cam_idx, axis=0)
+    e = jax.vmap(
+        lambda Rv, tv, Xp, xv: reprojection_errors(
+            K, Rv, tv, Xp[None].repeat(Rv.shape[0], 0), xv
+        ).reshape(-1)
+    )(Rg, tg, X, xs)
+    z = (jnp.einsum("tvab,tb->tva", Rg, X) + tg)[..., 2]
+    ok = (e <= gate_px) & (z > 1e-6) & (msk > 0)
+    return X, ok
+
+
 def _solve_points(pipeline, table, gate_px: float) -> None:
     """Triangulate every track with the CURRENT poses (one vmapped masked
     N-view DLT) and rewrite the pipeline's point/observation state."""
@@ -367,24 +388,10 @@ def _solve_points(pipeline, table, gate_px: float) -> None:
         np.float32
     )
 
-    @jax.jit
-    def tri(P_all, Rs, ts, cam_idx, xs, msk):
-        Ps = jnp.take(P_all, cam_idx, axis=0)  # (T, Vmax, 3, 4)
-        X = jax.vmap(triangulate_nview)(Ps, xs, msk)
-        Rg = jnp.take(Rs, cam_idx, axis=0)
-        tg = jnp.take(ts, cam_idx, axis=0)
-        e = jax.vmap(
-            lambda Rv, tv, Xp, xv: reprojection_errors(
-                jnp.asarray(K), Rv, tv, Xp[None].repeat(Rv.shape[0], 0), xv
-            ).reshape(-1)
-        )(Rg, tg, X, xs)
-        z = (jnp.einsum("tvab,tb->tva", Rg, X) + tg)[..., 2]
-        ok = (e <= gate_px) & (z > 1e-6) & (msk > 0)
-        return X, ok
-
-    X, ok_obs = tri(
-        jnp.asarray(P_all), jnp.asarray(Rs), jnp.asarray(ts),
+    X, ok_obs = _triangulate_gate(
+        jnp.asarray(K), jnp.asarray(P_all), jnp.asarray(Rs), jnp.asarray(ts),
         jnp.asarray(cam_idx), jnp.asarray(xs), jnp.asarray(msk),
+        jnp.float32(gate_px),
     )
     X = np.asarray(X)
     ok_obs = np.asarray(ok_obs)
