@@ -115,7 +115,7 @@ def _integrate_views_sharded(
     voxel grid, and ONE psum pair combines the partial sums over ICI.
     The reference integrates nothing (no volumetric stage at all); its
     per-view GPU loops (mvs_patchmatch.py:104-123) are the closest analog."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def local(d, c, K_, R, t, o, vx, tr):

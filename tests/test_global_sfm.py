@@ -139,3 +139,32 @@ def test_global_sfm_pose_accuracy(global_result):
         Rb = np.asarray(poses[b].R)
         gt = scene["Rs"][b] @ scene["Rs"][a].T
         assert _rot_err_deg(Rb @ Ra.T, gt) < 1.0
+
+
+@pytest.mark.slow
+def test_global_sfm_wider_scene():
+    """20-view arc: global mode registers everything with sub-1.5-deg
+    adjacent rotations — the regime (many views, strong graph) the
+    averaging formulation targets."""
+    scene = render_views(n_views=20, image_size=(160, 192), arc_step=0.05)
+    cam = Camera.from_matrix(scene["K"])
+    iset = image_set_from_arrays(scene["images"], cam)
+    cfg = ReconstructionConfig()
+    cfg = cfg.replace(
+        sift=dataclasses.replace(
+            cfg.sift, max_features=1024, contrast_threshold=0.012),
+        match=dataclasses.replace(
+            cfg.match, min_matches=15, ransac_hypotheses=512),
+    )
+    pipe = SfMPipeline(config=cfg)
+    points, colors, poses = pipe.reconstruct_global(image_set=iset)
+    assert len(poses) == 20
+    assert len(points) > 200
+    assert pipe.stats["mean_reproj_px"] < 1.5
+    ids = sorted(poses.keys())
+    errs = []
+    for a, b in zip(ids[:-1], ids[1:]):
+        Ra, Rb = np.asarray(poses[a].R), np.asarray(poses[b].R)
+        gt = scene["Rs"][b] @ scene["Rs"][a].T
+        errs.append(_rot_err_deg(Rb @ Ra.T, gt))
+    assert np.median(errs) < 0.8 and max(errs) < 2.0
