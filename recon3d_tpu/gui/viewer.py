@@ -96,6 +96,79 @@ def render_pointcloud(
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
+def mesh_to_shaded_points(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors: Optional[np.ndarray] = None,
+    azimuth_deg: float = 30.0,
+    elevation_deg: float = 20.0,
+    samples: int = 600_000,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Flat-shade a triangle mesh into a dense point set the z-buffer
+    splatter can draw: area-proportional barycentric surface samples,
+    Lambert-lit by a headlight at the orbit camera. Keeps the viewer
+    renderer single-path (points) while mesh.ply previews read as solid
+    shaded surfaces instead of bare vertices."""
+    if len(faces) == 0:
+        return verts, (
+            colors if colors is not None
+            else np.full((len(verts), 3), 200, np.uint8)
+        )
+    rng = np.random.default_rng(seed)
+    tri = verts[faces]  # (F, 3, 3)
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    nrm = np.cross(e1, e2)
+    area = 0.5 * np.linalg.norm(nrm, axis=1)
+    nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-12)
+    probs = area / max(area.sum(), 1e-12)
+    pick = rng.choice(len(faces), size=samples, p=probs)
+    r1 = np.sqrt(rng.random(samples))
+    r2 = rng.random(samples)
+    a = 1 - r1
+    b = r1 * (1 - r2)
+    c = r1 * r2
+    pts = (
+        tri[pick, 0] * a[:, None]
+        + tri[pick, 1] * b[:, None]
+        + tri[pick, 2] * c[:, None]
+    ).astype(np.float32)
+
+    # headlight at the orbit camera (same orbit math as render_pointcloud)
+    az, el = np.radians(azimuth_deg), np.radians(elevation_deg)
+    view = -np.array(
+        [np.cos(el) * np.sin(az), -np.sin(el), -np.cos(el) * np.cos(az)]
+    )
+    lambert = 0.25 + 0.75 * np.abs(nrm[pick] @ view)
+    if colors is not None:
+        base = (
+            colors[faces[pick, 0]].astype(np.float32)
+            + colors[faces[pick, 1]]
+            + colors[faces[pick, 2]]
+        ) / 3.0
+    else:
+        base = np.full((samples, 3), 200.0, np.float32)
+    shaded = np.clip(base * lambert[:, None], 0, 255).astype(np.uint8)
+    return pts, shaded
+
+
+def is_mesh_ply(path: str) -> bool:
+    """True when the PLY header declares a non-empty face element."""
+    try:
+        with open(path, "rb") as f:
+            for _ in range(64):
+                line = f.readline()
+                if not line or line.strip() == b"end_header":
+                    break
+                t = line.split()
+                if len(t) >= 3 and t[0] == b"element" and t[1] == b"face":
+                    return int(t[2]) > 0
+    except OSError:
+        pass
+    return False
+
+
 def orbit_drag(
     azimuth_deg: float,
     elevation_deg: float,
@@ -131,13 +204,25 @@ def render_turntable(
     """
     from PIL import Image
 
-    points, colors = load_ply(ply_path)
-    points, colors = subsample_for_display(points, colors, max_points)
+    mesh = None
+    if is_mesh_ply(ply_path):
+        from recon3d_tpu.io.ply import load_mesh_ply
+
+        mesh = load_mesh_ply(ply_path)
+    else:
+        points, colors = load_ply(ply_path)
+        points, colors = subsample_for_display(points, colors, max_points)
     paths = []
     for i in range(n_frames):
+        az = 360.0 * i / n_frames
+        if mesh is not None:
+            points, colors = mesh_to_shaded_points(
+                mesh[0], mesh[1], mesh[2], azimuth_deg=az,
+                samples=min(max_points, 600_000),
+            )
         img = render_pointcloud(
             points, colors, image_size,
-            azimuth_deg=360.0 * i / n_frames,
+            azimuth_deg=az,
             point_size=point_size,
         )
         p = f"{out_prefix}_{i:02d}.png"
@@ -189,7 +274,15 @@ if HAS_QT:  # pragma: no cover - exercised only with a display
             layout.addWidget(self.canvas)
 
         def load_ply_file(self, path: str):
-            self.points, self.colors = load_ply(path)
+            self.mesh = None
+            if is_mesh_ply(path):
+                from recon3d_tpu.io.ply import load_mesh_ply
+
+                self.mesh = load_mesh_ply(path)
+                self.points = self.mesh[0]
+                self.colors = self.mesh[2]
+            else:
+                self.points, self.colors = load_ply(path)
             self._redraw()
 
         def mousePressEvent(self, ev):
@@ -220,10 +313,17 @@ if HAS_QT:  # pragma: no cover - exercised only with a display
             from PyQt5 import QtGui
 
             frac = self.density.value() / 100.0
-            pts, cols = subsample_for_display(
-                self.points, self.colors,
-                max_points=max(1, int(len(self.points) * frac)),
-            )
+            if getattr(self, "mesh", None) is not None:
+                pts, cols = mesh_to_shaded_points(
+                    self.mesh[0], self.mesh[1], self.mesh[2],
+                    azimuth_deg=self.azimuth, elevation_deg=self.elevation,
+                    samples=max(1000, int(200_000 * frac)),
+                )
+            else:
+                pts, cols = subsample_for_display(
+                    self.points, self.colors,
+                    max_points=max(1, int(len(self.points) * frac)),
+                )
             img = render_pointcloud(
                 pts, cols, point_size=self.psize.value(),
                 azimuth_deg=self.azimuth, elevation_deg=self.elevation,

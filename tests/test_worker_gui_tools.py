@@ -166,3 +166,44 @@ def test_collect_options_mesh():
     # COLMAP methods ignore the mesh checkbox (no such flag there)
     opts = collect_options({"method": "colmap_dense"}, mesh=True)
     assert "mesh" not in opts
+
+
+def test_mesh_shaded_rendering(tmp_path):
+    """mesh.ply renders as a SHADED surface: header detection, surface
+    sampling, and brightness variation from the headlight."""
+    import sys
+    sys.path.insert(0, "tests")
+    from tests.test_tsdf_mesh import _sphere_volume
+    from recon3d_tpu.dense.mesh import extract_mesh
+    from recon3d_tpu.io.ply import save_mesh_ply, save_ply
+    from recon3d_tpu.gui.viewer import (
+        is_mesh_ply,
+        mesh_to_shaded_points,
+        render_turntable,
+    )
+
+    verts, faces = extract_mesh(_sphere_volume(n=32))
+    mp = tmp_path / "mesh.ply"
+    save_mesh_ply(str(mp), verts, faces,
+                  np.full((len(verts), 3), 200, np.uint8))
+    pp = tmp_path / "pts.ply"
+    save_ply(str(pp), verts)
+    assert is_mesh_ply(str(mp)) and not is_mesh_ply(str(pp))
+
+    pts, cols = mesh_to_shaded_points(verts, faces,
+                                      np.full((len(verts), 3), 200, np.uint8),
+                                      samples=20000)
+    assert pts.shape == (20000, 3) and cols.shape == (20000, 3)
+    # samples lie on the sphere surface
+    rad = np.linalg.norm(pts, axis=1)
+    assert np.abs(rad - 0.8).max() < 0.1
+    # headlight shading varies across the surface
+    assert cols.max() - cols.min() > 60
+
+    paths = render_turntable(str(mp), str(tmp_path / "m"), n_frames=2,
+                             image_size=(80, 100))
+    from PIL import Image
+    img = np.asarray(Image.open(paths[0]))
+    # a solid disk of lit pixels, not sparse vertices
+    lit = (img.max(axis=-1) > 40).mean()
+    assert lit > 0.15
