@@ -342,6 +342,15 @@ def run_global_sfm(pipeline) -> None:
     pipeline.bundle_adjustment_full()
     _regate_observations(pipeline, cfg.sfm.max_reproj_error_px)
     pipeline.bundle_adjustment_full()
+    # cameras outside the averaged pose graph (disconnected / too few
+    # cheirality inliers) get a second chance through the incremental
+    # machinery: batched PnP against the global points
+    pipeline.failed = set(
+        i for i in range(V) if i not in pipeline.registered
+    )
+    if pipeline.failed:
+        pipeline.try_recover_images()
+        pipeline.bundle_adjustment_full()
     # final cheirality/reproj sweep: the last BA can push a tiny-parallax
     # track behind its cameras (depth unconstrained); drop it rather than
     # report it (a single behind-camera point blows up the mean-reproj stat)
