@@ -1,14 +1,15 @@
-"""Sparse bundle adjustment: matrix-free Levenberg-Marquardt with CG.
+"""Sparse bundle adjustment: Schur-reduced Levenberg-Marquardt with CG.
 
 The reference has no true BA — its "bundle_adjustment_light" re-solves each
 camera with PnP, never moving points (sfm_pipeline.py:694-776). This module
 is the real thing (SURVEY.md §7 step 6), designed for TPU:
 
-  - residuals over the whole observation table in one vmapped evaluation,
-  - J v and J^T u as jvp/vjp of that evaluation (never materializing J),
-  - Jacobi (block-diagonal) preconditioned conjugate gradients on the
-    damped normal equations ("Bundle Adjustment in the Large" recipe, but
-    with XLA autodiff providing the Jacobian blocks),
+  - per-observation (2,6)/(2,3) Jacobian blocks from one vmapped jacfwd,
+  - point blocks eliminated analytically (batched closed-form 3x3
+    inverses) and preconditioned CG on the Schur-reduced camera system
+    ("Bundle Adjustment in the Large" RCS recipe),
+  - every J/J^T contraction is gathers + einsums + contiguous cumsum
+    segment reductions — zero XLA scatters (the slowest op class on TPU),
   - Huber robustification via IRLS weights,
   - cameras parameterized as se(3) increments on the linearization point,
   - gauge fixed by freezing camera 0 (and the scale by damping).
@@ -94,14 +95,6 @@ def _robust_weights(params: BAParams, data: BAData, delta: float) -> jnp.ndarray
     return jnp.sqrt(w)
 
 
-def _flatten(p: BAParams) -> jnp.ndarray:
-    return jnp.concatenate([p.xi.reshape(-1), p.dX.reshape(-1)])
-
-
-def _unflatten(v: jnp.ndarray, C: int, P: int) -> BAParams:
-    return BAParams(xi=v[: C * 6].reshape(C, 6), dX=v[C * 6 :].reshape(P, 3))
-
-
 def _reduce_contiguous(y: jnp.ndarray, start: jnp.ndarray,
                        end: jnp.ndarray) -> jnp.ndarray:
     """Segment sums of y (O, D) whose segments occupy contiguous row ranges
@@ -160,15 +153,23 @@ def _per_obs_jacobians(params, data, robust_w):
     return r, Jc, Jp
 
 
-def _jac_diag(data, Jc, Jp, free_mask_cam, free_mask_pt):
-    """diag(J^T J) from the per-observation blocks (scatter-free)."""
-    dc = jnp.sum(Jc * Jc, axis=1)  # (O, 6)
-    dp = jnp.sum(Jp * Jp, axis=1)  # (O, 3)
-    diag = jnp.concatenate([
-        (_reduce_cam(data, dc) * free_mask_cam[:, None]).reshape(-1),
-        (_reduce_pt(data, dp) * free_mask_pt[:, None]).reshape(-1),
-    ])
-    return jnp.maximum(diag, 1e-8)
+def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / det) — XLA's generic
+    linalg.inv lowers small batched inverses to LU loops on TPU."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    Cc = d * h - e * g
+    det = a * A + b * B + c * Cc
+    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+        jnp.stack([Cc, -(a * h - b * g), a * e - b * d], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
 
 
 @functools.partial(jax.jit, static_argnames=("cg_iters", "motion_only"))
@@ -180,64 +181,95 @@ def _lm_step(
     cg_iters: int = 40,
     motion_only: bool = False,
 ):
-    """One LM iteration: build robust weights, solve the damped normal
-    equations with preconditioned CG, return candidate step. Jitted as ONE
-    device program (CG under lax.scan) — a host-side step would dispatch
-    hundreds of tiny ops per CG iteration.
+    """One LM iteration via the Schur-reduced camera system ("Bundle
+    Adjustment in the Large" RCS): eliminate all point blocks analytically
+    (their damped 3x3 Hessians invert in closed form), run preconditioned
+    CG on the 6C-dim camera system, back-substitute the point step. Jitted
+    as ONE device program (CG under lax.scan).
 
-    The Jacobian is materialized ONCE per LM step as per-observation
-    (2, 6)/(2, 3) blocks; every CG matvec is then gathers + einsums +
-    contiguous segment reductions. The previous jvp/vjp-of-residuals
-    formulation re-linearized per CG step AND paid an XLA scatter-add for
-    every J^T application — scatter is the slowest op class on TPU and
-    dominated full-BA wall-clock."""
+    Why this shape for TPU:
+      - the Jacobian is materialized ONCE per LM step as per-observation
+        (2,6)/(2,3) blocks; every Schur matvec is gathers + einsums +
+        contiguous segment reductions (no scatters — see _reduce_cam),
+      - the CG space drops from 6C+3P to 6C (P >> C in SfM) and its
+        conditioning improves enough that the same iteration budget
+        actually converges,
+      - motion_only is the same program with C^{-1} = 0 (points frozen).
+    """
     C = params.xi.shape[0]
     P = params.dX.shape[0]
     robust_w = jax.lax.stop_gradient(_robust_weights(params, data, delta))
 
     free_cam = jnp.concatenate([jnp.zeros(1), jnp.ones(C - 1)])  # gauge: cam0 fixed
-    free_pt = jnp.zeros(P) if motion_only else jnp.ones(P)
-    free_flat = jnp.concatenate([
-        jnp.repeat(free_cam, 6), jnp.repeat(free_pt, 3)
-    ])
+    fc6 = jnp.repeat(free_cam, 6).reshape(C, 6)
 
     r0_obs, Jc, Jp = _per_obs_jacobians(params, data, robust_w)
     cost0 = 0.5 * jnp.sum(r0_obs * r0_obs)
 
-    def Jt_apply(y):  # y (O, 2) -> flat (C*6 + P*3)
-        yc = jnp.einsum("oij,oi->oj", Jc, y, precision=_HI)  # (O, 6)
-        yp = jnp.einsum("oij,oi->oj", Jp, y, precision=_HI)  # (O, 3)
-        return jnp.concatenate([
-            _reduce_cam(data, yc).reshape(-1),
-            _reduce_pt(data, yp).reshape(-1),
-        ])
+    # gradient halves
+    g_c = _reduce_cam(
+        data, jnp.einsum("oij,oi->oj", Jc, r0_obs, precision=_HI)
+    ) * fc6                                                     # (C, 6)
+    g_p = _reduce_pt(
+        data, jnp.einsum("oij,oi->oj", Jp, r0_obs, precision=_HI)
+    )                                                           # (P, 3)
 
-    def J_apply(v):  # flat -> (O, 2)
-        vc = v[: C * 6].reshape(C, 6)
-        vp = v[C * 6:].reshape(P, 3)
-        return (
-            jnp.einsum("oij,oj->oi", Jc,
-                       jnp.take(vc, data.obs_cam, axis=0), precision=_HI)
-            + jnp.einsum("oij,oj->oi", Jp,
-                         jnp.take(vp, data.obs_pt, axis=0), precision=_HI)
+    # per-point damped Hessian blocks and their closed-form inverses
+    Cp = _reduce_pt(
+        data, jnp.einsum("oia,oib->oab", Jp, Jp, precision=_HI)
+    )                                                           # (P, 3, 3)
+    diag_p = jnp.einsum("paa->pa", Cp)
+    Cp = Cp + damping * jax.vmap(jnp.diag)(diag_p) + 1e-8 * jnp.eye(3)
+    if motion_only:
+        Cinv = jnp.zeros_like(Cp)
+    else:
+        Cinv = _inv3x3(Cp)
+
+    diag_c = _reduce_cam(data, jnp.einsum("oia,oia->oa", Jc, Jc)) * fc6
+    lam_c = damping * diag_c + 1e-8                             # (C, 6)
+
+    def B_apply(xc):  # camera-camera block (undamped)
+        u = jnp.einsum(
+            "oij,oj->oi", Jc, jnp.take(xc, data.obs_cam, axis=0),
+            precision=_HI,
+        )
+        return _reduce_cam(
+            data, jnp.einsum("oij,oi->oj", Jc, u, precision=_HI)
         )
 
-    x0 = _flatten(params)
-    g = Jt_apply(r0_obs) * free_flat  # J^T r
+    def E_apply(xp):  # camera <- point coupling
+        u = jnp.einsum(
+            "oij,oj->oi", Jp, jnp.take(xp, data.obs_pt, axis=0),
+            precision=_HI,
+        )
+        return _reduce_cam(
+            data, jnp.einsum("oij,oi->oj", Jc, u, precision=_HI)
+        )
 
-    diag = _jac_diag(data, Jc, Jp, free_cam, free_pt)
-    M_inv = 1.0 / (diag + damping * diag + 1e-8)
+    def Et_apply(xc):  # point <- camera coupling
+        u = jnp.einsum(
+            "oij,oj->oi", Jc, jnp.take(xc, data.obs_cam, axis=0),
+            precision=_HI,
+        )
+        return _reduce_pt(
+            data, jnp.einsum("oij,oi->oj", Jp, u, precision=_HI)
+        )
 
-    def A(v):
-        v = v * free_flat
-        return Jt_apply(J_apply(v)) * free_flat + damping * diag * v
+    def S_apply(xc):  # Schur complement: B + lam - E Cinv E^T
+        xc = xc * fc6
+        y = B_apply(xc) + lam_c * xc
+        t = jnp.einsum("pab,pb->pa", Cinv, Et_apply(xc), precision=_HI)
+        return (y - E_apply(t)) * fc6
 
-    b = -g
+    # RHS: v - E Cinv w with v = -g_c, w = -g_p
+    w_p = jnp.einsum("pab,pb->pa", Cinv, -g_p, precision=_HI)
+    b = (-g_c - E_apply(w_p)) * fc6
 
-    # Preconditioned CG on the explicit GN blocks.
+    M_inv = 1.0 / (diag_c + lam_c)  # Jacobi on the Schur diagonal's B part
+
     def cg_body(carry, _):
         x, r, z, p = carry
-        Ap = A(p)
+        Ap = S_apply(p)
         rz = jnp.sum(r * z)
         alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-12)
         x = x + alpha * p
@@ -247,14 +279,18 @@ def _lm_step(
         p = z_new + beta * p
         return (x, r_new, z_new, p), None
 
-    x_init = jnp.zeros_like(b)
     z0 = M_inv * b
-    (dx, *_), _ = jax.lax.scan(
-        cg_body, (x_init, b, z0, z0), None, length=cg_iters
+    (dc, *_), _ = jax.lax.scan(
+        cg_body, (jnp.zeros_like(b), b, z0, z0), None, length=cg_iters
     )
-    dx = dx * free_flat
+    dc = dc * fc6
 
-    cand = _unflatten(x0 + dx, C, P)
+    # back-substitute the point step: dp = Cinv (w - E^T dc)
+    dp = jnp.einsum(
+        "pab,pb->pa", Cinv, -g_p - Et_apply(dc), precision=_HI
+    )
+
+    cand = BAParams(xi=params.xi + dc, dX=params.dX + dp)
     r1 = _residuals(cand, data, robust_w)
     cost1 = 0.5 * jnp.sum(r1 * r1)
     return cand, cost0, cost1

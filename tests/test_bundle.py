@@ -63,3 +63,78 @@ def test_ba_robust_to_outliers(rng):
     )
     for i in range(1, 4):
         assert rotation_angle_deg(new_poses[i][0], scene["Rs"][i]) < 0.5
+
+
+def test_schur_step_matches_dense_solve(rng):
+    """The Schur-reduced CG step equals the dense damped-normal-equations
+    solution (gauge rows deleted) on a small problem."""
+    import jax
+    import jax.numpy as jnp
+
+    from recon3d_tpu.sfm import bundle as B
+
+    scene, poses, points, observations, kp_xy = _perturbed_problem(
+        rng, n_cams=3, n_points=24)
+    K = scene["K"]
+
+    # build BAData exactly as bundle_adjust does (reuse its internals by
+    # running zero LM iterations is not exposed; construct directly)
+    cam_ids = sorted(poses.keys())
+    oc, op, oxy = [], [], []
+    for pid, obs in enumerate(observations):
+        for (cam, kp) in obs:
+            oc.append(cam)
+            op.append(pid)
+            oxy.append(kp_xy[cam][kp])
+    O = len(oc)
+    C, P = len(cam_ids), len(points)
+    pt_start = np.searchsorted(op, np.arange(P), side="left").astype(np.int32)
+    pt_end = np.searchsorted(op, np.arange(P), side="right").astype(np.int32)
+    cam_perm = np.argsort(np.asarray(oc), kind="stable").astype(np.int32)
+    oc_sorted = np.asarray(oc)[cam_perm]
+    cam_start = np.searchsorted(oc_sorted, np.arange(C), side="left").astype(np.int32)
+    cam_end = np.searchsorted(oc_sorted, np.arange(C), side="right").astype(np.int32)
+    data = B.BAData(
+        K=jnp.asarray(K, jnp.float32),
+        R0=jnp.asarray(np.stack([poses[c][0] for c in cam_ids])),
+        t0=jnp.asarray(np.stack([poses[c][1] for c in cam_ids]), jnp.float32),
+        X0=jnp.asarray(points),
+        obs_cam=jnp.asarray(oc, jnp.int32),
+        obs_pt=jnp.asarray(op, jnp.int32),
+        obs_xy=jnp.asarray(np.asarray(oxy), jnp.float32),
+        obs_w=jnp.ones(O, jnp.float32),
+        pt_start=jnp.asarray(pt_start), pt_end=jnp.asarray(pt_end),
+        cam_perm=jnp.asarray(cam_perm),
+        cam_start=jnp.asarray(cam_start), cam_end=jnp.asarray(cam_end),
+    )
+    params = B.BAParams(xi=jnp.zeros((C, 6)), dX=jnp.zeros((P, 3)))
+    damping = jnp.float32(1e-3)
+    delta = jnp.float32(1e9)  # no robustification: pure GN comparison
+
+    cand, cost0, cost1 = B._lm_step(params, data, damping, delta,
+                                    cg_iters=200)
+    dx_schur = np.concatenate([
+        np.asarray(cand.xi).reshape(-1), np.asarray(cand.dX).reshape(-1)
+    ])
+
+    # dense reference: J via jacfwd of the flat residual vector
+    def res_flat(v):
+        p = B.BAParams(xi=v[: C * 6].reshape(C, 6),
+                       dX=v[C * 6:].reshape(P, 3))
+        return B._residuals(p, data, jnp.ones(O))
+
+    x0 = jnp.zeros(C * 6 + P * 3)
+    J = np.asarray(jax.jacfwd(res_flat)(x0))
+    r = np.asarray(res_flat(x0))
+    H = J.T @ J
+    g = J.T @ r
+    lam = float(damping) * np.diag(H) + 1e-8
+    A = H + np.diag(lam)
+    free = np.ones(C * 6 + P * 3, bool)
+    free[:6] = False  # gauge: camera 0 fixed
+    dx = np.zeros(C * 6 + P * 3)
+    dx[free] = np.linalg.solve(A[np.ix_(free, free)], -g[free])
+
+    denom = max(np.linalg.norm(dx), 1e-9)
+    assert np.linalg.norm(dx_schur - dx) / denom < 1e-3
+    assert float(cost1) < float(cost0)
