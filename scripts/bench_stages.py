@@ -147,13 +147,38 @@ def bench_patchmatch(quick=False):
             "unit": row["unit"], "vs_baseline": row.get("vs_baseline")}
 
 
+def bench_bundle(quick=False):
+    """Full-BA wall-clock at e2e scale (LM loop incl. robust reweighting,
+    Schur-CG solves, accept/reject) — seconds per accepted LM iteration."""
+    import time as _t
+
+    from recon3d_tpu.config import BundleConfig
+    from recon3d_tpu.sfm.bundle import bundle_adjust
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from tpu_ba_ab import make_problem
+
+    nC, nP = (12, 1200) if quick else (40, 4000)
+    problem = make_problem(nC, nP)
+    cfg = BundleConfig()
+    bundle_adjust(*problem, cfg)  # compile
+    t0 = _t.perf_counter()
+    _, _, st = bundle_adjust(*problem, cfg)
+    dt = _t.perf_counter() - t0
+    iters = max(st.get("iterations", 1), 1)
+    return {"metric": "bundle_adjust_full",
+            "value": round(dt / iters * 1e3, 1),
+            "unit": f"ms/LM-iter ({nC}cam/{nP}pt)"}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--md", type=str, default=None)
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip", nargs="*", default=[],
-                    choices=["sift", "match", "sweep", "patchmatch"])
+                    choices=["sift", "match", "sweep", "patchmatch",
+                             "bundle"])
     args = ap.parse_args(argv)
     if args.platform:
         import jax
@@ -165,6 +190,7 @@ def main(argv=None):
         ("match", bench_match),
         ("sweep", bench_plane_sweep),
         ("patchmatch", bench_patchmatch),
+        ("bundle", bench_bundle),
     ]
     rows = []
     for name, fn in benches:
