@@ -15,7 +15,7 @@ clouds only (README.md output list — sparse/dense/stereo PLY).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
