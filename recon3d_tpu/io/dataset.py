@@ -59,6 +59,28 @@ def _round_to(v: int, m: int) -> int:
     return max(m, int(np.ceil(v / m) * m))
 
 
+def focal_px_from_exif(pil_image, width_px: int):
+    """Focal length in pixels from EXIF metadata, or None.
+
+    Uses FocalLengthIn35mmFilm (tag 41989): f_px = f35 / 36mm * width.
+    Checked in both the top-level IFD and the Exif sub-IFD (cameras differ).
+    A practical upgrade over the no-calibration fallback the reference uses
+    (sfm_pipeline.py:76-85 guesses 1.2 * max dimension for every camera).
+    """
+    try:
+        ex = pil_image.getexif()
+        f35 = ex.get(41989)
+        if f35 is None:
+            f35 = ex.get_ifd(0x8769).get(41989)
+        if f35:
+            f35 = float(f35)
+            if 10.0 <= f35 <= 600.0:
+                return f35 * float(width_px) / 36.0
+    except Exception:
+        pass
+    return None
+
+
 def load_image_set(
     image_dir: str,
     camera: Optional[Camera] = None,
@@ -76,10 +98,17 @@ def load_image_set(
         raise FileNotFoundError(f"no images in {image_dir}")
 
     raw: List[np.ndarray] = []
+    exif_focal_px = None
     for f in files:
         im = Image.open(os.path.join(image_dir, f)).convert("RGB")
         w, h = im.size
         scale = min(1.0, max_size / max(w, h))
+        if exif_focal_px is None:
+            # read EXIF BEFORE resize (PIL's resize drops metadata), but
+            # express the focal in final-width pixels
+            exif_focal_px = focal_px_from_exif(
+                im, int(round(w * min(scale, 1.0)))
+            )
         if scale < 1.0:
             im = im.resize((int(round(w * scale)), int(round(h * scale))), Image.BILINEAR)
         raw.append(np.asarray(im, dtype=np.float32) / 255.0)
@@ -98,9 +127,12 @@ def load_image_set(
     # Scale K by the applied resize factor (reference sfm_pipeline.py:116-124).
     first_scale = min(1.0, max_size / max(raw[0].shape[1] / 1.0, raw[0].shape[0]))
     if camera is None:
-        # Default intrinsics: f = 1.2 * max dim, principal point at center
-        # (reference's no-calibration fallback, sfm_pipeline.py:76-85).
-        f = 1.2 * max(H, W)
+        # Intrinsics fallback chain: EXIF 35mm-equivalent focal when the
+        # images carry it, else f = 1.2 * max dim at the principal point
+        # (the reference's only option, sfm_pipeline.py:76-85).
+        f = exif_focal_px or 1.2 * max(H, W)
+        if exif_focal_px:
+            print(f"[load] EXIF focal: {f:.1f} px")
         camera = Camera.create(fx=f, fy=f, cx=W / 2.0, cy=H / 2.0)
         scale_applied = 1.0
     else:

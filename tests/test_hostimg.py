@@ -37,3 +37,34 @@ def test_resize_non_integer_ratio(rng):
     host = resize_batch_np(img, (14, 20))
     dev = np.asarray(resize(jnp.asarray(img[0]), (14, 20)))
     np.testing.assert_allclose(host[0], dev, atol=1e-5)
+
+
+def test_exif_focal_initialization(tmp_path):
+    """JPEGs carrying FocalLengthIn35mmFilm initialize K from EXIF instead
+    of the 1.2*maxdim guess; images without EXIF keep the fallback."""
+    from PIL import Image
+
+    from recon3d_tpu.io.dataset import load_image_set
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "exif_imgs"
+    d.mkdir()
+    e = Image.Exif()
+    e[41989] = 50  # 50mm (35mm-equivalent)
+    for i in range(2):
+        img = Image.fromarray(
+            (rng.random((96, 144, 3)) * 255).astype(np.uint8))
+        img.save(d / f"im_{i}.jpg", exif=e)
+    iset = load_image_set(str(d))
+    f = float(np.asarray(iset.camera.K)[0, 0])
+    assert abs(f - 50.0 * 144 / 36.0) < 1e-3  # 200 px
+
+    d2 = tmp_path / "plain_imgs"
+    d2.mkdir()
+    for i in range(2):
+        Image.fromarray(
+            (rng.random((96, 144, 3)) * 255).astype(np.uint8)
+        ).save(d2 / f"im_{i}.png")
+    iset2 = load_image_set(str(d2))
+    f2 = float(np.asarray(iset2.camera.K)[0, 0])
+    assert abs(f2 - 1.2 * 144) < 1e-3
