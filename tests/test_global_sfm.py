@@ -168,3 +168,41 @@ def test_global_sfm_wider_scene():
         gt = scene["Rs"][b] @ scene["Rs"][a].T
         errs.append(_rot_err_deg(Rb @ Ra.T, gt))
     assert np.median(errs) < 0.8 and max(errs) < 2.0
+
+
+def test_translation_averaging_scales_to_150_cameras(rng):
+    """The dense 3Vx3V normal-equation solve stays exact and fast at the
+    realistic camera-count envelope. The path must carry curvature: on a
+    NEAR-COLLINEAR track pairwise directions are almost parallel and
+    longitudinal spacing is fundamentally unconstrained by direction-only
+    constraints (a known degeneracy of translation averaging — the e2e
+    solver recovers those via resection-intersection + BA instead)."""
+    V = 150
+    Rs, Cs = [], []
+    for i in range(V):
+        th = 2 * np.pi * i / V * 0.8
+        R = np.array(
+            [[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+             [-np.sin(th), 0, np.cos(th)]], np.float32)
+        Rs.append(R)
+        Cs.append(np.float32(
+            [2 * np.sin(th), 0.3 * np.sin(3 * th), -2 * np.cos(th)]))
+    Rs, Cs = np.stack(Rs), np.stack(Cs)
+    ei, ej, t_rel = [], [], []
+    for i in range(V):
+        for j in range(i + 1, min(i + 6, V)):
+            d = Cs[j] - Cs[i]
+            t = -Rs[j] @ d
+            t /= np.linalg.norm(t)
+            ei.append(i)
+            ej.append(j)
+            t_rel.append(t)
+    C = translation_averaging(
+        np.asarray(ei, np.int32), np.asarray(ej, np.int32),
+        np.stack(t_rel).astype(np.float32), Rs,
+        np.ones(len(ei), np.float32), V,
+    )
+    gt = Cs - Cs[0]
+    s = np.sum(C * gt) / max(np.sum(C * C), 1e-12)
+    err = np.linalg.norm(s * C - gt, axis=1)
+    assert err.max() < 0.03 * np.linalg.norm(gt, axis=1).max()
