@@ -26,6 +26,7 @@ METHOD_PRESETS: List[Tuple[str, Dict]] = [
     ("Custom: SIFT + PatchMatch MVS", {"mvs": True}),
     ("Custom: SIFT + Plane-sweep", {"stereo": True}),
     ("Custom: SIFT sparse", {}),
+    ("Custom: Global SfM (rotation averaging)", {"global_sfm": True}),
     ("Custom: SIFT combined (MVS + stereo + SIFT dense)", {"combined": True}),
 ]
 

@@ -48,7 +48,7 @@ def build_command(dataset: str, options: Dict) -> List[str]:
             args.append("--stereo")
         elif options.get("dense"):
             args.append("--dense")
-        else:
+        elif not options.get("global_sfm"):
             args.append("--fast")
         if options.get("mesh"):
             args.append("--mesh")

@@ -111,7 +111,7 @@ def test_worker_runs_subprocess(tmp_path):
 
 def test_method_presets_and_result_discovery(tmp_path):
     # reference's eight presets (main_app.py:79-86) + the combined preset
-    assert len(METHOD_PRESETS) == 9
+    assert len(METHOD_PRESETS) == 10
     assert find_result_file(str(tmp_path)) is None
     save_ply(str(tmp_path / "sparse.ply"), np.zeros((1, 3), np.float32))
     save_ply(str(tmp_path / "dense_mvs.ply"), np.zeros((1, 3), np.float32))
