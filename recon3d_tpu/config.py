@@ -150,7 +150,10 @@ class BundleConfig:
     """Sparse Gauss-Newton/LM bundle adjustment (upgrade over ref :694-776)."""
 
     max_iterations: int = 20
-    cg_iterations: int = 40
+    # Schur-reduced CG converges far faster than the old full-system CG
+    # the 40 default was sized for; 24 measured loss-free (LM's accept/
+    # reject absorbs occasional under-solves with an extra iteration)
+    cg_iterations: int = 24
     init_damping: float = 1e-3
     motion_only: bool = False
     robust_delta_px: float = 3.0       # Huber width
