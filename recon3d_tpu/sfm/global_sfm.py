@@ -346,7 +346,7 @@ def run_global_sfm(pipeline) -> None:
     pipeline.bundle_adjustment_full()
     _solve_points(pipeline, table, cfg.sfm.max_reproj_error_px * 2.0)
     pipeline.bundle_adjustment_full()
-    _regate_observations(pipeline, cfg.sfm.max_reproj_error_px)
+    pipeline.drop_invalid_observations(cfg.sfm.max_reproj_error_px)
     pipeline.bundle_adjustment_full()
     # cameras outside the averaged pose graph (disconnected / too few
     # cheirality inliers) get a second chance through the incremental
@@ -360,7 +360,7 @@ def run_global_sfm(pipeline) -> None:
     # final cheirality/reproj sweep: the last BA can push a tiny-parallax
     # track behind its cameras (depth unconstrained); drop it rather than
     # report it (a single behind-camera point blows up the mean-reproj stat)
-    _regate_observations(pipeline, cfg.sfm.max_reproj_error_px)
+    pipeline.drop_invalid_observations(cfg.sfm.max_reproj_error_px)
     pipeline._normalize_reconstruction()
 
 
@@ -442,41 +442,3 @@ def _solve_points(pipeline, table, gate_px: float) -> None:
             )
         else:
             pipeline.point_colors.append(np.full(3, 180, np.uint8))
-
-
-def _regate_observations(pipeline, max_px: float) -> None:
-    """Drop observations whose reprojection error exceeds max_px under the
-    current poses/points; drop points left with < 2 observations."""
-    K = np.asarray(pipeline.camera.K, np.float64)
-    new_points, new_obs, new_colors = [], [], []
-    kp_to_point = [np.full(len(k), -1, np.int64) for k in pipeline.kp_xy]
-    dropped_obs = 0
-    for pid, obs in enumerate(pipeline.observations):
-        X = np.asarray(pipeline.points3d[pid], np.float64)
-        kept = []
-        for c, k in obs:
-            R, t = pipeline.poses[c]
-            Xc = np.asarray(R, np.float64) @ X + np.asarray(t, np.float64)
-            if Xc[2] <= 1e-9:
-                continue
-            uv = np.array([
-                K[0, 0] * Xc[0] / Xc[2] + K[0, 2],
-                K[1, 1] * Xc[1] / Xc[2] + K[1, 2],
-            ])
-            if np.linalg.norm(uv - pipeline.kp_xy[c][k]) <= max_px:
-                kept.append((c, k))
-        dropped_obs += len(obs) - len(kept)
-        if len(kept) >= 2:
-            new_pid = len(new_points)
-            new_points.append(pipeline.points3d[pid])
-            new_obs.append(kept)
-            new_colors.append(pipeline.point_colors[pid])
-            for c, k in kept:
-                kp_to_point[c][k] = new_pid
-    n_drop_pts = len(pipeline.points3d) - len(new_points)
-    pipeline.points3d = new_points
-    pipeline.observations = new_obs
-    pipeline.point_colors = new_colors
-    pipeline.kp_to_point = kp_to_point
-    if dropped_obs or n_drop_pts:
-        print(f"[global] regate: -{dropped_obs} obs, -{n_drop_pts} points")

@@ -1064,6 +1064,7 @@ class SfMPipeline:
         self.bundle_adjustment_light()
         self.try_recover_images()
         self.bundle_adjustment_full()
+        self.drop_invalid_observations()
         self._normalize_reconstruction()
         self.stats["final_ba_time"] = time.time() - t_ba
 
@@ -1116,6 +1117,50 @@ class SfMPipeline:
             C = -R.T @ t
             Cn = (C - center) * s
             self.poses[i] = (R, (-R @ Cn).astype(np.float32))
+
+    def drop_invalid_observations(self, max_px: float = 50.0):
+        """Final sweep: drop observations that are behind their camera or
+        grossly off (> max_px reprojection), then points left with < 2
+        observations. The last full BA can push a tiny-parallax track
+        behind its cameras (its depth is unconstrained); ONE such point
+        poisons every mean-reprojection statistic (observed: 1.3e5 px mean
+        from a single behind-camera point on a 150-view scene)."""
+        K = np.asarray(self.camera.K, np.float64)
+        new_points, new_obs, new_colors = [], [], []
+        kp_to_point = [np.full(len(k), -1, np.int64) for k in self.kp_xy]
+        dropped = 0
+        for pid, obs in enumerate(self.observations):
+            X = np.asarray(self.points3d[pid], np.float64)
+            kept = []
+            for c, k in obs:
+                if c not in self.poses:
+                    continue
+                R, t = self.poses[c]
+                Xc = np.asarray(R, np.float64) @ X + np.asarray(
+                    t, np.float64).reshape(3)
+                if Xc[2] <= 1e-9:
+                    continue
+                uv = np.array([
+                    K[0, 0] * Xc[0] / Xc[2] + K[0, 2],
+                    K[1, 1] * Xc[1] / Xc[2] + K[1, 2],
+                ])
+                if np.linalg.norm(uv - self.kp_xy[c][k]) <= max_px:
+                    kept.append((c, k))
+            dropped += len(obs) - len(kept)
+            if len(kept) >= 2:
+                new_pid = len(new_points)
+                new_points.append(self.points3d[pid])
+                new_obs.append(kept)
+                new_colors.append(self.point_colors[pid])
+                for c, k in kept:
+                    kp_to_point[c][k] = new_pid
+        n_pts = len(self.points3d) - len(new_points)
+        self.points3d = new_points
+        self.observations = new_obs
+        self.point_colors = new_colors
+        self.kp_to_point = kp_to_point
+        if dropped or n_pts:
+            print(f"[sfm] final sweep: -{dropped} obs, -{n_pts} points")
 
     def save_ply(self, path: str):
         """Write sparse cloud (reference :916-938)."""
