@@ -104,7 +104,19 @@ def load_from_colmap(pipeline, model_dir: str, image_dir: str,
     # load_images then rescales K to the working resolution and undistorts
     # the pixels exactly as it does for a calibrated run, so OPENCV /
     # SIMPLE_RADIAL models work, not just PINHOLE.
-    cam = model.cameras[min(model.cameras)]
+    if model.images:
+        first_im = model.images[min(model.images)]
+        cam = model.cameras[first_im.camera_id]
+    else:
+        cam = model.cameras[min(model.cameras)]
+    if len(model.cameras) > 1:
+        # The pipeline shares ONE camera across all views (like the
+        # reference); COLMAP's default ImageReader makes one per image.
+        print(
+            f"WARNING: COLMAP model has {len(model.cameras)} cameras; "
+            f"adopting camera {cam.camera_id} ({cam.model}) for ALL "
+            f"images — views calibrated differently will reproject wrongly"
+        )
     pipeline.camera = Camera(
         K=jnp.asarray(cam.K()), dist=jnp.asarray(cam.dist())
     )
@@ -262,7 +274,15 @@ def main(argv=None) -> int:
                     dp, dc = out[:2]
                     if want_maps:
                         mesh_maps, mesh_cloud = out[2], (dp, dc)
-                        mesh_min_conf = float(cfg.patchmatch.min_views)
+                        # mirror the stage's own fusion gate
+                        # (patchmatch.py: min(min_views, J)) — with few
+                        # views the raw min_views count is unreachable
+                        # and the mesh would be silently empty
+                        j = min(cfg.patchmatch.num_source_views,
+                                len(poses) - 1)
+                        mesh_min_conf = float(
+                            min(cfg.patchmatch.min_views, j)
+                        )
                 if len(dp):
                     save_ply(str(output_dir / "dense_mvs.ply"), dp, dc)
                     print(f"  dense_mvs.ply: {len(dp):,} points")
@@ -279,7 +299,13 @@ def main(argv=None) -> int:
                     dp, dc = out[:2]
                     if mesh_from_stereo:
                         mesh_maps, mesh_cloud = out[2], (dp, dc)
-                        mesh_min_conf = float(cfg.plane_sweep.min_views)
+                        # mirror the stage's per-ref gate
+                        # min(min_views, #neighbors) at its global bound
+                        j = min(cfg.plane_sweep.num_neighbors,
+                                len(poses) - 1)
+                        mesh_min_conf = float(
+                            min(cfg.plane_sweep.min_views, j)
+                        )
                 if len(dp):
                     save_ply(str(output_dir / "dense_stereo.ply"), dp, dc)
                     print(f"  dense_stereo.ply: {len(dp):,} points")

@@ -167,7 +167,9 @@ def extract_mesh(
     T, nrm = T[keep], nrm[keep]
 
     # Orient every triangle so its normal points toward positive TSDF:
-    # compare with the trilinear SDF gradient at the centroid.
+    # compare with a nearest-voxel central-difference gradient at the
+    # centroid (coarse but adequate — a flip needs the gradient WRONG by
+    # >90 deg, which a one-voxel offset doesn't produce on trunc>=3vx SDFs).
     cent = T.mean(axis=1)
     g = _sdf_gradient(s, vol, cent)
     flip = np.einsum("ij,ij->i", nrm, g) < 0
@@ -208,7 +210,6 @@ def mesh_vertex_colors(
     verts: np.ndarray,
     points: np.ndarray,
     colors: np.ndarray,
-    k: int = 1,
 ) -> np.ndarray:
     """Color mesh vertices from the nearest fused cloud point. Exact
     grid-hash NN in the native C++ runtime (native/pointcloud.cpp

@@ -67,7 +67,13 @@ class DepthNormalMap(NamedTuple):
 
 
 def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Shift a (H, W, ...) map by (dy, dx), replicating edges."""
+    """Shift a (H, W, ...) map by (dy, dx), replicating edges.
+
+    Shifts are clamped to the map size: propagation uses steps up to 16,
+    and an unclamped |dy| >= H would concatenate to the wrong shape (jit
+    error) or, at |dy| == H, silently misalign."""
+    dy = max(-(x.shape[0] - 1), min(x.shape[0] - 1, dy))
+    dx = max(-(x.shape[1] - 1), min(x.shape[1] - 1, dx))
     if dy > 0:
         x = jnp.concatenate([x[:1]] * dy + [x[:-dy]], axis=0)
     elif dy < 0:
@@ -79,10 +85,14 @@ def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return x
 
 
-def _warp_sources(depth, rays, R_ref, t_ref, R_srcs, t_srcs, K, src_grays):
+def _warp_sources(depth, rays, R_ref, t_ref, R_srcs, t_srcs, K, src_grays,
+                  z_floor=1e-4):
     """Reproject every ref pixel at its depth into each source and sample.
 
     depth: (H, W); rays: (H, W, 3) = K^-1 [u v 1]^T.
+    z_floor: minimum source-frame depth for a valid sample — must scale
+    with the scene (SfM scale is arbitrary; a fixed floor rejected every
+    pixel on small-scale reconstructions).
     Returns sampled (J, H, W) and validity (J, H, W).
     """
     Xc = rays * depth[..., None]                       # ref camera frame
@@ -97,7 +107,7 @@ def _warp_sources(depth, rays, R_ref, t_ref, R_srcs, t_srcs, K, src_grays):
             axis=-1,
         )
         samp, ok = bilinear_sample_auto(src, px)
-        return samp, ok & (z > 0.1)
+        return samp, ok & (z > z_floor)
 
     return jax.vmap(one)(src_grays, R_srcs, t_srcs)
 
@@ -113,14 +123,15 @@ def _ncc_all(ref, warped, ok, patch: int):
 
 
 def _eval_cost(depth, rays, ref_gray, src_grays, K, R_ref, t_ref,
-               R_srcs, t_srcs, patch: int):
+               R_srcs, t_srcs, patch: int, z_floor=1e-4):
     """Photo-consistency cost of a depth hypothesis field.
 
     Returns (cost (H,W), ncc (J,H,W), valid (J,H,W)). Cost is mean (1 - NCC)
     over valid views; _BIG where <2 views see the point (reference :386-388).
     """
     warped, ok = _warp_sources(
-        depth, rays, R_ref, t_ref, R_srcs, t_srcs, K, src_grays
+        depth, rays, R_ref, t_ref, R_srcs, t_srcs, K, src_grays,
+        z_floor=z_floor,
     )
     ncc = _ncc_all(ref_gray, warped, ok, patch)
     cnt = jnp.sum(ok, axis=0)
@@ -214,6 +225,7 @@ def patchmatch_depth(
         _eval_cost,
         rays=rays, ref_gray=ref_gray, src_grays=src_grays, K=K,
         R_ref=R_ref, t_ref=t_ref, R_srcs=R_srcs, t_srcs=t_srcs, patch=patch,
+        z_floor=dmin * 0.05,  # scale-relative near-camera validity floor
     )
 
     def keep_best(depth, normal, cand_d, cand_n):
@@ -455,23 +467,26 @@ class PatchMatchMVS:
             # Fast path (no checkpointing): outputs stay ON DEVICE through
             # fusion — concatenate + gather as TWO device ops (a per-view
             # host pull costs a round-trip per depth map).
-            batch_outs: List[DepthNormalMap] = []
+            # Keep only depth + confidence per batch: holding the full
+            # DepthNormalMap would pin the unused normal (B,H,W,3) and cost
+            # buffers in HBM until fusion (~2.5x the needed footprint).
+            batch_d: List[jnp.ndarray] = []
+            batch_c: List[jnp.ndarray] = []
             real_rows: List[int] = []
             for pos, out in self._depth_batches(
                 todo, ids, grays, sources, Rs, ts, ranges, K, keys_np,
                 row, views_per_batch,
             ):
-                base = len(batch_outs) * views_per_batch
+                base = len(batch_d) * views_per_batch
                 real_rows.extend(base + r for r in range(len(pos)))
-                batch_outs.append(out)
+                batch_d.append(out.depth)
+                batch_c.append(out.confidence)
             rows_j = jnp.asarray(np.asarray(real_rows, np.int32))
             depth_all = jnp.take(
-                jnp.concatenate([o.depth for o in batch_outs], axis=0),
-                rows_j, axis=0,
+                jnp.concatenate(batch_d, axis=0), rows_j, axis=0
             )
             conf_all = jnp.take(
-                jnp.concatenate([o.confidence for o in batch_outs], axis=0),
-                rows_j, axis=0,
+                jnp.concatenate(batch_c, axis=0), rows_j, axis=0
             )
             pts, cols = self._fuse_and_filter(
                 depth_all, conf_all, K, Rs, ts, small, row, ids, t0, t_prep, V

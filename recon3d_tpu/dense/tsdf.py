@@ -107,14 +107,10 @@ def _integrate_views(depths, confs, K, Rs, ts, origin, voxel, trunc, n):
     return _finalize(num, den, n)
 
 
-def _integrate_views_sharded(
-    mesh, depths, confs, K, Rs, ts, origin, voxel, trunc, n
-):
-    """Multi-chip fusion: the view axis shards over the mesh's 'data' axis
-    (shard_map), each chip scan-accumulates its views against the full
-    voxel grid, and ONE psum pair combines the partial sums over ICI.
-    The reference integrates nothing (no volumetric stage at all); its
-    per-view GPU loops (mvs_patchmatch.py:104-123) are the closest analog."""
+@functools.lru_cache(maxsize=8)
+def _sharded_integrate_program(mesh, n):
+    """One jitted shard_map program per (mesh, resolution): a fresh closure
+    per call would defeat jit's cache and recompile every fusion."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -124,14 +120,25 @@ def _integrate_views_sharded(
         )
         return jax.lax.psum(num, "data"), jax.lax.psum(den, "data")
 
-    f = shard_map(
+    return jax.jit(shard_map(
         local,
         mesh=mesh,
         in_specs=(P("data"), P("data"), P(), P("data"), P("data"),
                   P(), P(), P()),
         out_specs=(P(), P()),
-    )
-    num, den = jax.jit(f)(depths, confs, K, Rs, ts, origin, voxel, trunc)
+    ))
+
+
+def _integrate_views_sharded(
+    mesh, depths, confs, K, Rs, ts, origin, voxel, trunc, n
+):
+    """Multi-chip fusion: the view axis shards over the mesh's 'data' axis
+    (shard_map), each chip scan-accumulates its views against the full
+    voxel grid, and ONE psum pair combines the partial sums over ICI.
+    The reference integrates nothing (no volumetric stage at all); its
+    per-view GPU loops (mvs_patchmatch.py:104-123) are the closest analog."""
+    f = _sharded_integrate_program(mesh, n)
+    num, den = f(depths, confs, K, Rs, ts, origin, voxel, trunc)
     return _finalize(num, den, n)
 
 

@@ -79,17 +79,22 @@ class ColmapCamera:
     params: np.ndarray  # model-dependent
 
     def K(self) -> np.ndarray:
+        """Intrinsics in the framework's integer-pixel-center convention
+        (COLMAP puts the top-left pixel center at (0.5, 0.5); ours is at
+        (0, 0), so cx/cy shift by -0.5)."""
         p = self.params
-        if self.model in ("PINHOLE", "OPENCV", "OPENCV_FISHEYE", "FULL_OPENCV"):
+        if self.model in ("PINHOLE", "OPENCV", "FULL_OPENCV"):
             fx, fy, cx, cy = p[0], p[1], p[2], p[3]
-        elif self.model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL",
-                            "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE"):
+        elif self.model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL"):
             fx = fy = p[0]
             cx, cy = p[1], p[2]
         else:
+            # Fisheye models carry k1..k4 in a NON-OpenCV-pinhole
+            # convention that dist() cannot represent; refuse rather than
+            # silently treating heavily-distorted pixels as pinhole.
             raise ValueError(f"unsupported COLMAP camera model {self.model}")
         return np.array(
-            [[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32
+            [[fx, 0, cx - 0.5], [0, fy, cy - 0.5], [0, 0, 1]], np.float32
         )
 
     def dist(self) -> np.ndarray:
@@ -183,20 +188,34 @@ def save_colmap_text(
     image_id = {c: i + 1 for i, c in enumerate(cam_ids)}  # COLMAP ids 1-based
 
     use_dist = dist is not None and np.any(np.abs(np.asarray(dist)) > 1e-12)
+    # COLMAP's pixel convention puts the top-left pixel CENTER at (0.5, 0.5);
+    # the framework's is (0, 0) — every written pixel coordinate (cx/cy and
+    # keypoints) shifts by +0.5, and the reader shifts back.
+    cx_w, cy_w = K[0, 2] + 0.5, K[1, 2] + 0.5
     with open(os.path.join(out_dir, "cameras.txt"), "w") as f:
         f.write("# Camera list with one line of data per camera:\n"
                 "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n")
         if use_dist:
             d = np.asarray(dist, np.float64).reshape(-1)
-            f.write(
-                f"1 OPENCV {W} {H} {K[0,0]:.10g} {K[1,1]:.10g} "
-                f"{K[0,2]:.10g} {K[1,2]:.10g} "
-                f"{d[0]:.10g} {d[1]:.10g} {d[2]:.10g} {d[3]:.10g}\n"
-            )
+            if abs(d[4]) > 1e-12:
+                # OPENCV has no k3 slot; FULL_OPENCV is
+                # fx fy cx cy k1 k2 p1 p2 k3 k4 k5 k6
+                f.write(
+                    f"1 FULL_OPENCV {W} {H} {K[0,0]:.10g} {K[1,1]:.10g} "
+                    f"{cx_w:.10g} {cy_w:.10g} "
+                    f"{d[0]:.10g} {d[1]:.10g} {d[2]:.10g} {d[3]:.10g} "
+                    f"{d[4]:.10g} 0 0 0\n"
+                )
+            else:
+                f.write(
+                    f"1 OPENCV {W} {H} {K[0,0]:.10g} {K[1,1]:.10g} "
+                    f"{cx_w:.10g} {cy_w:.10g} "
+                    f"{d[0]:.10g} {d[1]:.10g} {d[2]:.10g} {d[3]:.10g}\n"
+                )
         else:
             f.write(
                 f"1 PINHOLE {W} {H} {K[0,0]:.10g} {K[1,1]:.10g} "
-                f"{K[0,2]:.10g} {K[1,2]:.10g}\n"
+                f"{cx_w:.10g} {cy_w:.10g}\n"
             )
 
     # Per-image 2D point lists: only keypoints that track a 3D point (valid
@@ -253,7 +272,8 @@ def save_colmap_text(
                 f"{q[3]:.12g} {t[0]:.12g} {t[1]:.12g} {t[2]:.12g} 1 {name}\n"
             )
             f.write(" ".join(
-                f"{x:.6g} {y:.6g} {pid3}" for x, y, pid3 in img_xys[c]
+                f"{x + 0.5:.7g} {y + 0.5:.7g} {pid3}"
+                for x, y, pid3 in img_xys[c]
             ) + "\n")
 
     with open(os.path.join(out_dir, "points3D.txt"), "w") as f:
@@ -311,8 +331,9 @@ def load_colmap_text(model_dir: str) -> ColmapModel:
         parts = hdr.split()
         image_id = int(parts[0])
         vals = pts.split()
+        # -0.5: COLMAP half-pixel-center convention -> ours (see writer)
         xys = np.array(
-            [[float(vals[i]), float(vals[i + 1])]
+            [[float(vals[i]) - 0.5, float(vals[i + 1]) - 0.5]
              for i in range(0, len(vals), 3)], np.float64
         ).reshape(-1, 2)
         p3 = np.array(

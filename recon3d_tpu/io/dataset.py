@@ -99,10 +99,18 @@ def load_image_set(
 
     raw: List[np.ndarray] = []
     exif_focal_px = None
+    first_scale = 1.0
     for f in files:
         im = Image.open(os.path.join(image_dir, f)).convert("RGB")
         w, h = im.size
         scale = min(1.0, max_size / max(w, h))
+        if not raw:
+            # The resize factor actually applied to the first image, from
+            # its ORIGINAL size — it rescales the provided calibration K to
+            # the working resolution below (the raw arrays are already
+            # resized by the time the old post-loop computation ran, which
+            # made the factor silently 1.0).
+            first_scale = scale
         if exif_focal_px is None:
             # read EXIF BEFORE resize (PIL's resize drops metadata), but
             # express the focal in final-width pixels
@@ -125,7 +133,6 @@ def load_image_set(
         sizes[i] = (r.shape[0], r.shape[1])
 
     # Scale K by the applied resize factor (reference sfm_pipeline.py:116-124).
-    first_scale = min(1.0, max_size / max(raw[0].shape[1] / 1.0, raw[0].shape[0]))
     if camera is None:
         # Intrinsics fallback chain: EXIF 35mm-equivalent focal when the
         # images carry it, else f = 1.2 * max dim at the principal point
@@ -134,12 +141,8 @@ def load_image_set(
         if exif_focal_px:
             print(f"[load] EXIF focal: {f:.1f} px")
         camera = Camera.create(fx=f, fy=f, cx=W / 2.0, cy=H / 2.0)
-        scale_applied = 1.0
-    else:
-        scale_applied = min(
-            1.0, max_size / max(int(raw[0].shape[1] / 1.0), int(raw[0].shape[0]))
-        )
-        camera = camera.scaled(first_scale) if first_scale < 1.0 else camera
+    elif first_scale < 1.0:
+        camera = camera.scaled(first_scale)
 
     has_dist = bool(np.any(np.abs(np.asarray(camera.dist)) > 1e-12))
     if has_dist:

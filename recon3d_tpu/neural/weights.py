@@ -70,8 +70,14 @@ def _conv(sd, name):
     }
 
 
-def load_superpoint_torch(path: str, template: Any) -> Any:
-    """Map the public SuperPoint checkpoint layer names onto SuperPointNet."""
+def load_superpoint_torch(path: str, template: Any, strict: bool = True) -> Any:
+    """Map the public SuperPoint checkpoint layer names onto SuperPointNet.
+
+    strict (default): every expected conv must be present with the
+    template's shape — a renamed layout (e.g. 'module.'-prefixed
+    DataParallel keys) raises instead of silently returning random-init
+    params that only fail as mysteriously bad matches downstream.
+    """
     sd = _load_torch_state(path)
     names = [
         "conv1a", "conv1b", "conv2a", "conv2b",
@@ -81,8 +87,24 @@ def load_superpoint_torch(path: str, template: Any) -> Any:
     params = dict(template["params"]) if "params" in template else dict(template)
     out = dict(params)
     for n in names:
-        if f"{n}.weight" in sd:
-            out[n] = _conv(sd, n)
+        if f"{n}.weight" not in sd:
+            if strict:
+                raise KeyError(
+                    f"SuperPoint checkpoint {path} missing {n}.weight "
+                    f"(found keys like {sorted(sd)[:3]}...)"
+                )
+            continue
+        conv = _conv(sd, n)
+        if strict and n in out:
+            for leaf in ("kernel", "bias"):
+                want = np.asarray(out[n][leaf]).shape
+                got = conv[leaf].shape
+                if want != got:
+                    raise ValueError(
+                        f"SuperPoint checkpoint {path} shape mismatch at "
+                        f"{n}.{leaf}: {got} vs {want}"
+                    )
+        out[n] = conv
     return {"params": out}
 
 

@@ -125,7 +125,13 @@ def _obs_res_one(xi_c, dX_p, Rc0, tc0, Xp0, xy, w, K):
     t = jnp.einsum("ij,j->i", dR, tc0, precision=_HI) + dt
     X = Xp0 + dX_p
     Xc = jnp.einsum("ij,j->i", R, X, precision=_HI) + t
-    z = jnp.where(jnp.abs(Xc[2]) < 1e-6, 1e-6, Xc[2])
+    # Sign-preserving clamp, identical to _residuals: cost0/cost1 and the
+    # LM accept/reject decision must come from ONE objective.
+    z = jnp.where(
+        jnp.abs(Xc[2]) < 1e-6,
+        jnp.where(Xc[2] < 0, -1e-6, 1e-6),
+        Xc[2],
+    )
     uv = Xc[:2] / z
     u = K[0, 0] * uv[0] + K[0, 1] * uv[1] + K[0, 2]
     v = K[1, 1] * uv[1] + K[1, 2]
@@ -391,6 +397,8 @@ def bundle_adjust(
                 op.append(pid)
                 oxy.append(kp_xy[cam][kp])
     O = len(oc)
+    if O == 0:  # all observations reference cameras absent from `poses`
+        return poses, points, {"iterations": 0}
     cap = _bucket(O, 256)  # observation axis: same x4 bucket scheme
     obs_cam = np.zeros(cap, np.int32)
     obs_pt = np.zeros(cap, np.int32)

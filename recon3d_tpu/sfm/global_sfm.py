@@ -38,6 +38,7 @@ from recon3d_tpu.ops.triangulate import (
 )
 
 _MAX_PAIR_CORR = 512  # correspondences per pair fed to recover_pose
+_MAX_TRACK_OBS = 24   # cap per-track observations in the padded DLT table
 
 
 # -- stage 1: relative poses over the match graph -----------------------------
@@ -82,6 +83,12 @@ def relative_poses(pipeline):
     ei = np.asarray([p[0] for p in pairs], np.int32)
     ej = np.asarray([p[1] for p in pairs], np.int32)
     keep = w >= 8  # pairs whose cheirality vote is too thin are unreliable
+    if not keep.any():
+        raise RuntimeError(
+            "global SfM: no reliable pairs (every two-view cheirality vote "
+            "< 8) — the scene is too low-parallax/low-texture for pose "
+            "averaging; use the incremental pipeline"
+        )
     return (
         ei[keep], ej[keep],
         np.asarray(R_rel)[keep], np.asarray(t_rel)[keep], w[keep],
@@ -163,14 +170,15 @@ def rotation_averaging(ei, ej, R_rel, w, V, iters: int = 64):
 # -- stage 3: translation averaging -------------------------------------------
 
 
-def translation_averaging(ei, ej, t_rel, R, w, V,
-                          irls_iters: int = 4) -> np.ndarray:
+def translation_averaging(ei, ej, t_rel, R, w, V) -> np.ndarray:
     """Camera centers from pairwise directions (host linear algebra — the
     system is 3V x 3V with V at most a few hundred).
 
-    Minimizes sum_e w_e ||P_perp(d_e)(C_j - C_i)||^2 with the scale pinned
-    by sum_e d_e.(C_j - C_i) = E, then IRLS-downweights direction-violating
-    edges. d_e = -R_j^T t_rel (world direction C_i -> C_j)."""
+    Block-coordinate descent on the jointly convex program
+    min_{C,s} sum_e w_e ||(C_j - C_i) - s_e d_e||^2 s.t. s_e >= 1, where
+    d_e = -R_j^T t_rel (world direction C_i -> C_j). Outlier directions are
+    handled upstream (cheirality-weight gate) and downstream (robust BA +
+    resection rounds), not here."""
     E = len(ei)
     # float64 throughout: the projector Laplacian's informative spectrum
     # reaches ~1e-9 on long chains (soft bending modes); float32 direction
@@ -307,6 +315,17 @@ def run_global_sfm(pipeline) -> None:
         [(c, k) for c, k in tr if connected[c]] for tr in tracks
     ]
     tracks = [tr for tr in tracks if len(tr) >= 2]
+    # Cap observations per track (COLMAP-style): the padded DLT table is
+    # (T, Vmax, ...), so one feature tracked through most of a large scene
+    # would inflate EVERY track's row to its length — quadratic memory for
+    # a table whose real observation count is ~mean-track-length smaller.
+    # Evenly-spaced subsampling keeps the camera spread (baseline diversity).
+    tracks = [
+        tr if len(tr) <= _MAX_TRACK_OBS
+        else [tr[int(v)] for v in
+              np.linspace(0, len(tr) - 1, _MAX_TRACK_OBS).round()]
+        for tr in tracks
+    ]
     T = len(tracks)
     if T == 0:
         raise RuntimeError("global SfM: no multi-view tracks")
@@ -418,18 +437,24 @@ def _solve_points(pipeline, table, gate_px: float) -> None:
     pipeline.kp_to_point = [
         np.full(len(k), -1, np.int64) for k in pipeline.kp_xy
     ]
+    # Rebuild the 2D-3D correspondence index from scratch: routing every
+    # assignment through _note_kp_link propagates point ids to UNREGISTERED
+    # match partners, which is what try_recover_images' batched PnP reads
+    # when recovering cameras outside the averaged pose graph.
+    pipeline.corr = {}
     color_img = pipeline.image_set.color if pipeline.image_set else None
     H = color_img.shape[1] if color_img is not None else 0
     W = color_img.shape[2] if color_img is not None else 0
     for t in np.nonzero(keep)[0]:
-        pid = len(pipeline.points3d)
-        obs = []
-        for (c, k), v in zip(tracks[t], range(len(tracks[t]))):
-            if ok_obs[t, v]:
-                obs.append((int(c), int(k)))
-                pipeline.kp_to_point[int(c)][int(k)] = pid
+        obs = [
+            (int(c), int(k))
+            for v, (c, k) in enumerate(tracks[t]) if ok_obs[t, v]
+        ]
         if len(obs) < 2:
             continue
+        pid = len(pipeline.points3d)
+        for c, k in obs:
+            pipeline._note_kp_link(c, k, pid)
         pipeline.points3d.append(X[t].astype(np.float32))
         pipeline.observations.append(obs)
         if color_img is not None:

@@ -1127,7 +1127,13 @@ class SfMPipeline:
         from a single behind-camera point on a 150-view scene)."""
         K = np.asarray(self.camera.K, np.float64)
         new_points, new_obs, new_colors = [], [], []
-        kp_to_point = [np.full(len(k), -1, np.int64) for k in self.kp_xy]
+        self.kp_to_point = [
+            np.full(len(k), -1, np.int64) for k in self.kp_xy
+        ]
+        # Point ids are renumbered below; rebuild the unregistered-image
+        # correspondence index too (global SfM runs its PnP recovery pass
+        # AFTER this sweep and reads self.corr).
+        self.corr = {}
         dropped = 0
         for pid, obs in enumerate(self.observations):
             X = np.asarray(self.points3d[pid], np.float64)
@@ -1153,12 +1159,11 @@ class SfMPipeline:
                 new_obs.append(kept)
                 new_colors.append(self.point_colors[pid])
                 for c, k in kept:
-                    kp_to_point[c][k] = new_pid
+                    self._note_kp_link(c, k, new_pid)
         n_pts = len(self.points3d) - len(new_points)
         self.points3d = new_points
         self.observations = new_obs
         self.point_colors = new_colors
-        self.kp_to_point = kp_to_point
         if dropped or n_pts:
             print(f"[sfm] final sweep: -{dropped} obs, -{n_pts} points")
 

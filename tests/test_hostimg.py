@@ -39,6 +39,35 @@ def test_resize_non_integer_ratio(rng):
     np.testing.assert_allclose(host[0], dev, atol=1e-5)
 
 
+def test_calibrated_k_rescaled_to_working_resolution(tmp_path):
+    """Provided intrinsics must be rescaled by the resize factor actually
+    applied at load (regression: the factor was computed from the
+    already-resized array, silently staying 1.0 — original-resolution K
+    applied to downscaled images corrupts every dense-stage projection)."""
+    from PIL import Image
+
+    from recon3d_tpu.camera import Camera
+    from recon3d_tpu.io.dataset import load_image_set
+
+    rng = np.random.default_rng(1)
+    d = tmp_path / "big_imgs"
+    d.mkdir()
+    for i in range(2):
+        Image.fromarray(
+            (rng.random((200, 400, 3)) * 255).astype(np.uint8)
+        ).save(d / f"im_{i}.png")
+    cam = Camera.create(fx=500.0, fy=510.0, cx=200.0, cy=100.0)
+    iset = load_image_set(str(d), camera=cam, max_size=100)  # scale 0.25
+    K = np.asarray(iset.camera.K)
+    np.testing.assert_allclose(
+        [K[0, 0], K[1, 1], K[0, 2], K[1, 2]],
+        [125.0, 127.5, 50.0, 25.0], rtol=1e-6,
+    )
+    assert abs(iset.scale - 0.25) < 1e-9
+    assert iset.color.shape[1:3] == (
+        np.ceil(50 / 16) * 16, np.ceil(100 / 16) * 16)
+
+
 def test_exif_focal_initialization(tmp_path):
     """JPEGs carrying FocalLengthIn35mmFilm initialize K from EXIF instead
     of the 1.2*maxdim guess; images without EXIF keep the fallback."""
