@@ -205,24 +205,19 @@ def bilinear_sample_auto(
     """bilinear_sample with automatic TPU dispatch: MXU formulation for
     small 2D images, gather formulation otherwise.
 
-    RECON3D_WARP_MXU_DTYPE=bf16 switches the Pallas contraction to native
-    bfloat16 inputs (~3e-3 relative error) — measurement knob for the
-    dense-path throughput A/B; default stays exact f32."""
+    Always contracts in exact f32: the bf16 MXU variant was A/B-measured
+    on a v5e chip (scripts/tpu_warp_ab.py, 2026-08-18) at +3% standalone
+    (228 vs 221 M samples/s) but -3% on the end-to-end PatchMatch bench
+    (2.86 vs 2.96 MP/s) — the warp contraction is not the bottleneck once
+    fused, so the precision trade buys nothing."""
     if (
         img.ndim == 2
         and img.shape[0] * img.shape[1] <= _MXU_SAMPLE_MAX_PIXELS
         and jax.default_backend() == "tpu"
     ):
-        import os
-
         from recon3d_tpu.ops.warp_pallas import bilinear_sample_pallas
 
-        dt = (
-            jnp.bfloat16
-            if os.environ.get("RECON3D_WARP_MXU_DTYPE") == "bf16"
-            else jnp.float32
-        )
-        return bilinear_sample_pallas(img, coords, fill, mxu_dtype=dt)
+        return bilinear_sample_pallas(img, coords, fill)
     return bilinear_sample(img, coords, fill)
 
 

@@ -33,32 +33,28 @@ _COLS = 2048
 _TILE = _ROWS * _COLS
 
 
-def _tent_warp_kernel(imgT_ref, xs_ref, ys_ref, out_ref, *, mxu_dtype,
-                      emulate=False):
+def _tent_warp_kernel(imgT_ref, xs_ref, ys_ref, out_ref):
     """out[p] = sum_h sum_w tent(y_p - h) * img[h, w] * tent(x_p - w).
 
-    mxu_dtype: dtype fed to the MXU contraction (f32 accumulate either
-    way). float32 keeps the result bit-comparable to ops.image
-    bilinear_sample; bfloat16 runs the (W, H) @ (H, COLS) contraction at
-    the MXU's native rate — fp32 matmuls lower to multi-pass bf16 on
-    TPU — at ~3e-3 relative error, far below what an 11x11 NCC notices."""
+    The contraction is pinned to Precision.HIGHEST: at JAX's DEFAULT
+    matmul precision a TPU f32 dot rounds its inputs to bf16, which made
+    this kernel differ from the gather formulation by ~4e-3 on real
+    hardware (measured 2026-08-18; HIGHEST is exact to 2e-7 and costs
+    18% standalone / ~nothing end-to-end since the warp is not the
+    dense-path bottleneck). An explicit bf16-input variant was also
+    A/B-measured and removed: +3% standalone, -3% on the end-to-end
+    PatchMatch bench."""
     W, H = imgT_ref.shape
     ih = jax.lax.broadcasted_iota(jnp.int32, (H, _COLS), 0).astype(jnp.float32)
     iw = jax.lax.broadcasted_iota(jnp.int32, (W, _COLS), 0).astype(jnp.float32)
-    # emulate=True (interpret mode on CPU): the CPU thunk cannot execute a
-    # bf16 x bf16 -> f32 dot, so round the inputs through mxu_dtype and dot
-    # in f32 — numerically equivalent (bf16 products are exact in f32).
-    def lo(a):
-        a = a.astype(mxu_dtype)
-        return a.astype(jnp.float32) if emulate else a
-
-    imgT = lo(imgT_ref[:])
+    imgT = imgT_ref[:]
     for r in range(_ROWS):
         y = ys_ref[0, r, :]                            # (512,) on lanes
         x = xs_ref[0, r, :]
         wyT = jnp.maximum(0.0, 1.0 - jnp.abs(ih - y[None, :]))   # (H, 512)
-        rowsT = jnp.dot(imgT, lo(wyT),
-                        preferred_element_type=jnp.float32)
+        rowsT = jnp.dot(imgT, wyT,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         wxT = jnp.maximum(0.0, 1.0 - jnp.abs(iw - x[None, :]))   # (W, 512)
         out_ref[0, r, :] = jnp.sum(rowsT * wxT, axis=0)
 
@@ -66,9 +62,9 @@ def _tent_warp_kernel(imgT_ref, xs_ref, ys_ref, out_ref, *, mxu_dtype,
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "mxu_dtype"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def _tent_warp_flat(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
-                    interpret: bool = False, mxu_dtype=jnp.float32):
+                    interpret: bool = False):
     """img (H, W) f32; xs, ys (P,) finite, pre-clipped to the image bounds.
     Returns (P,) bilinear samples. interpret=True runs the Pallas
     interpreter (any backend — used by the CPU test suite for parity)."""
@@ -79,8 +75,7 @@ def _tent_warp_flat(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     xs_p = jnp.pad(xs, (0, Pp - P)).reshape(n_tiles, _ROWS, _COLS)
     ys_p = jnp.pad(ys, (0, Pp - P)).reshape(n_tiles, _ROWS, _COLS)
     out = pl.pallas_call(
-        functools.partial(_tent_warp_kernel, mxu_dtype=mxu_dtype,
-                          emulate=interpret),
+        _tent_warp_kernel,
         out_shape=jax.ShapeDtypeStruct((n_tiles, _ROWS, _COLS), jnp.float32),
         grid=(n_tiles,),
         in_specs=[
@@ -103,11 +98,9 @@ def _tent_warp_flat(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
 
 
 def bilinear_sample_pallas(img: jnp.ndarray, coords: jnp.ndarray,
-                           fill: float = 0.0, interpret: bool = False,
-                           mxu_dtype=jnp.float32):
+                           fill: float = 0.0, interpret: bool = False):
     """Drop-in for ops.image.bilinear_sample (2D images): same values, same
-    validity semantics, Pallas tent-warp kernel underneath. mxu_dtype=
-    jnp.bfloat16 trades ~3e-3 relative error for the MXU's native rate."""
+    validity semantics, Pallas tent-warp kernel underneath."""
     H, W = img.shape
     x = coords[..., 0]
     y = coords[..., 1]
@@ -120,6 +113,5 @@ def bilinear_sample_pallas(img: jnp.ndarray, coords: jnp.ndarray,
     shape = xc.shape
     out = _tent_warp_flat(
         img, xc.reshape(-1), yc.reshape(-1), interpret=interpret,
-        mxu_dtype=mxu_dtype,
     ).reshape(shape)
     return jnp.where(valid, out, fill), valid

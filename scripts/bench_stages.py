@@ -245,7 +245,20 @@ def main(argv=None):
         ]
         for r in rows:
             lines.append(f"| {r['metric']} | {r['value']} | {r['unit']} |")
-        lines += ["", f"Generated {time.strftime('%Y-%m-%d')}.", ""]
+        lines += [
+            "",
+            "**Measurement note (important):** `jax.block_until_ready` does "
+            "NOT reliably synchronize through the tunneled axon runtime — it "
+            "can return after dispatch, before the device work ran. Timings "
+            "taken with it (including the `BENCH_r01.json` figure of 256.9 "
+            "MP/s and earlier per-stage claims like \"SIFT 118 ms/img\") "
+            "measured dispatch latency, not compute. All numbers above force "
+            "completion by fetching a device-side reduction of the outputs — "
+            "see `_force()` in scripts/bench_stages.py.",
+            "",
+            f"Generated {time.strftime('%Y-%m-%d')}.",
+            "",
+        ]
         Path(args.md).write_text("\n".join(lines))
         print(f"wrote {args.md}")
     return 0

@@ -1,9 +1,14 @@
-"""On-chip A/B: Pallas tent-warp f32 vs bf16 MXU contraction, standalone
-and through the full PatchMatch bench configuration.
+"""On-chip A/B: Pallas tent-warp kernel vs XLA gather sampling.
 
 Run on the real TPU: python scripts/tpu_warp_ab.py
 (first fetch may stall 0-300 s through the tunnel; timing forces completion
 via device-side reduce + host fetch, same discipline as bench.py).
+
+Historical note (2026-08-18, v5e): a bf16 MXU-contraction variant of the
+kernel was measured here at 228 vs 221 M samples/s standalone (+3%) but
+2.856 vs 2.958 MP/s on the end-to-end PatchMatch bench (-3%) — the warp
+contraction is not the dense-path bottleneck once fused, so the option was
+removed (ops/warp_pallas.py is exact-f32 only).
 """
 
 import os
@@ -11,6 +16,8 @@ import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def force(x):
@@ -23,6 +30,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from recon3d_tpu.ops.image import bilinear_sample
     from recon3d_tpu.ops.warp_pallas import bilinear_sample_pallas
 
     print("devices:", jax.devices())
@@ -34,9 +42,11 @@ def main():
         rng.random((P, 2)) * np.array([W - 1.0, H - 1.0]), jnp.float32
     )
 
-    for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-        f = jax.jit(lambda im, c, dt=dt: bilinear_sample_pallas(
-            im, c, mxu_dtype=dt)[0])
+    for name, base in (
+        ("pallas-tent", lambda im, c: bilinear_sample_pallas(im, c)[0]),
+        ("xla-gather", lambda im, c: bilinear_sample(im, c)[0]),
+    ):
+        f = jax.jit(base)
         force(f(img, coords))  # compile
         best = float("inf")
         for _ in range(3):
@@ -46,23 +56,15 @@ def main():
             best = min(best, time.perf_counter() - t0)
         print(f"warp[{name}]: {8 * P / best / 1e6:.1f} M samples/s")
 
-    # End-to-end: the bench.py PatchMatch configuration via the env knob.
+    # End-to-end: the bench.py PatchMatch configuration.
     import subprocess
 
-    for env_val in ("", "bf16"):
-        env = dict(os.environ)
-        if env_val:
-            env["RECON3D_WARP_MXU_DTYPE"] = env_val
-        else:
-            env.pop("RECON3D_WARP_MXU_DTYPE", None)
-        out = subprocess.run(
-            [sys.executable, "bench.py"], env=env, capture_output=True,
-            text=True, cwd=os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))),
-        )
-        tag = env_val or "f32"
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        print(f"bench[{tag}]: {line[-1] if line else out.stdout[-200:]}")
+    out = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    print(f"bench: {line[-1] if line else out.stdout[-200:]}")
 
 
 if __name__ == "__main__":

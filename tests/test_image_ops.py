@@ -169,9 +169,9 @@ def test_bilinear_sample_pallas_matches_gather(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-def test_bilinear_sample_pallas_bf16_error_bound(rng):
-    """bfloat16 MXU contraction stays within the documented ~3e-3 relative
-    error of the exact f32 path (for [0,1] image values)."""
+def test_bilinear_sample_pallas_exact_on_large_coord_set(rng):
+    """The f32 tent-warp kernel stays exact on a large coordinate set
+    (multiple grid tiles, padding slots exercised)."""
     from recon3d_tpu.ops.image import bilinear_sample
     from recon3d_tpu.ops.warp_pallas import bilinear_sample_pallas
 
@@ -180,9 +180,6 @@ def test_bilinear_sample_pallas_bf16_error_bound(rng):
         np.float32
     )
     a, va = bilinear_sample(img, jnp.asarray(coords))
-    b, vb = bilinear_sample_pallas(
-        img, jnp.asarray(coords), interpret=True, mxu_dtype=jnp.bfloat16
-    )
+    b, vb = bilinear_sample_pallas(img, jnp.asarray(coords), interpret=True)
     np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
-    err = np.abs(np.asarray(a) - np.asarray(b))
-    assert err.max() < 8e-3 and err.mean() < 1.5e-3
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
