@@ -241,6 +241,14 @@ def main(argv=None) -> int:
 
         save_ply(str(output_dir / "sparse.ply"), points, colors)
         pipeline.save_cameras_ply(str(output_dir / "cameras.ply"))
+        if poses:
+            ids = sorted(poses)
+            np.savez(
+                output_dir / "poses.npz",
+                image_ids=np.asarray(ids, np.int32),
+                Rs=np.stack([np.asarray(poses[i][0]) for i in ids]),
+                ts=np.stack([np.asarray(poses[i][1]) for i in ids]),
+            )
         print(f"  sparse.ply: {len(points):,} points")
         if args.export_colmap and not args.from_colmap:
             pipeline.save_colmap(str(output_dir / "sparse_colmap"))

@@ -79,8 +79,13 @@ def render_views(
     planes: List[Plane] | None = None,
     rng_seed: int = 0,
     arc_step: float = 0.12,
+    arc_offset: float = 0.0,
 ):
     """Render n_views images of the box-corner scene from an arc of cameras.
+
+    arc_offset shifts every camera angle (radians): negative thetas view the
+    side wall edge-on and yield few SIFT features, so wide arcs should be
+    biased positive (the north-star scenario uses offset = sweep/2).
 
     Returns dict with images (V, H, W, 3) float32, gray implied, K, Rs, ts,
     depth (V, H, W) ground-truth depth maps (0 where no hit).
@@ -93,7 +98,7 @@ def render_views(
     rng = np.random.default_rng(rng_seed)
     Rs, ts = [], []
     for i in range(n_views):
-        theta = (i - (n_views - 1) / 2.0) * arc_step
+        theta = (i - (n_views - 1) / 2.0) * arc_step + arc_offset
         C = np.array([3.5 * np.sin(theta), -0.3 + 0.1 * rng.normal(), -3.5 * np.cos(theta)])
         z = -C / np.linalg.norm(C)  # look at origin
         up = np.array([0.0, -1.0, 0.0])
