@@ -148,6 +148,15 @@ def load_from_colmap(pipeline, model_dir: str, image_dir: str,
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    # Start device-link establishment NOW, on a daemon thread: the first
+    # device->host fetch of a process can stall for minutes on tunneled
+    # runtimes, and this overlaps it with image loading + tracing instead
+    # of letting it land inside a pipeline stage (runtime/warmup.py).
+    from recon3d_tpu.runtime.warmup import warm_device_async
+
+    warm_device_async()
+
     image_dir = resolve_dataset(args.dataset)
     output_dir = Path(args.output) if args.output else image_dir / "reconstruction"
     output_dir.mkdir(parents=True, exist_ok=True)

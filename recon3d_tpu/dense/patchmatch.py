@@ -404,7 +404,9 @@ class PatchMatchMVS:
         scale = cfg.scale
         Hs = int(images.shape[1] * scale)
         Ws = int(images.shape[2] * scale)
+        t_k0 = time.time()
         K = np.asarray(self.camera.scaled(scale).K, np.float32)
+        t_kfetch = time.time() - t_k0
 
         # Downscale + gray on the HOST: the working scale is 0.25x, so the
         # device only ever needs the small gray planes (uploaded per batch
@@ -412,7 +414,9 @@ class PatchMatchMVS:
         # more link bytes than the data the stage actually consumes.
         from recon3d_tpu.io.hostimg import resize_batch_np, rgb_to_gray_np
 
+        t_r0 = time.time()
         small = resize_batch_np(images[ids], (Hs, Ws))
+        t_resize = time.time() - t_r0
         grays = rgb_to_gray_np(small)
         row = {i: r for r, i in enumerate(ids)}
 
@@ -441,6 +445,14 @@ class PatchMatchMVS:
         ranges = np.asarray(ranges, np.float32)
 
         t_prep = time.time() - t0
+        if t_prep > 1.0:
+            # Break down a slow prep: the K fetch is the stage's first
+            # device->host sync (a cold tunnel link can stall minutes here),
+            # the resize is the big host-side CPU cost.
+            print(
+                f"[patchmatch] prep {t_prep:.1f}s "
+                f"(K fetch {t_kfetch:.1f}, resize {t_resize:.1f})"
+            )
         key = jax.random.PRNGKey(cfg.seed)
         n_batches = (V + views_per_batch - 1) // views_per_batch
         keys_np = np.asarray(

@@ -362,13 +362,21 @@ def bundle_adjust(
     observations: List[List[Tuple[int, int]]],
     kp_xy: List[np.ndarray],
     config: Optional[BundleConfig] = None,
+    size_hint: Optional[Tuple[int, int, int]] = None,
 ):
     """Host wrapper: builds the padded observation table from pipeline state,
     runs the LM loop, returns (poses', points', stats).
 
     observations[p] = [(cam_id, kp_id), ...]; kp_xy[cam] = (K, 2) pixels.
+
+    size_hint = (nC, nP, nO) predicted FINAL sizes. Buckets are sized to
+    max(actual, hint), so an incremental pipeline that can extrapolate its
+    final scene size compiles the LM program ONCE instead of once per x4
+    growth bucket (compiles dominate BA wall-clock on a growing scene; the
+    padded-slot compute they buy costs far less warm time).
     """
     config = config or BundleConfig()
+    hC, hP, hO = size_hint or (0, 0, 0)
     cam_ids = sorted(poses.keys())
     cam_row = {c: i for i, c in enumerate(cam_ids)}
     nC = len(cam_ids)
@@ -386,8 +394,8 @@ def bundle_adjust(
             c *= 4
         return c
 
-    C = _bucket(nC, 4)
-    P = _bucket(nP, 256)
+    C = _bucket(max(nC, hC), 4)
+    P = _bucket(max(nP, hP), 256)
 
     oc, op, oxy = [], [], []
     for pid, obs in enumerate(observations):
@@ -399,7 +407,7 @@ def bundle_adjust(
     O = len(oc)
     if O == 0:  # all observations reference cameras absent from `poses`
         return poses, points, {"iterations": 0}
-    cap = _bucket(O, 256)  # observation axis: same x4 bucket scheme
+    cap = _bucket(max(O, hO), 256)  # observation axis: same x4 bucket scheme
     obs_cam = np.zeros(cap, np.int32)
     obs_pt = np.zeros(cap, np.int32)
     obs_xy = np.zeros((cap, 2), np.float32)

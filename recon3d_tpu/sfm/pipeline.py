@@ -922,6 +922,14 @@ class SfMPipeline:
         from recon3d_tpu.sfm.bundle import bundle_adjust
 
         points = np.stack(self.points3d)
+        # Predict FINAL sizes from registration progress so the LM program
+        # compiles once per run instead of once per x4 growth bucket:
+        # points/observations grow roughly linearly with registered views.
+        V_total = self.image_set.gray.shape[0] if self.image_set else 0
+        V_reg = max(len(self.registered), 1)
+        grow = max(V_total, V_reg) / V_reg
+        n_obs = sum(len(o) for o in self.observations)
+        hint = (V_total, int(len(points) * grow), int(n_obs * grow))
         new_poses, new_points, stats = bundle_adjust(
             np.asarray(self.camera.K),
             self.poses,
@@ -929,6 +937,7 @@ class SfMPipeline:
             self.observations,
             self.kp_xy,
             self.config.bundle,
+            size_hint=hint,
         )
         self.poses = {c: (np.asarray(R), np.asarray(t)) for c, (R, t) in new_poses.items()}
         self.points3d = [p for p in new_points.astype(np.float32)]
