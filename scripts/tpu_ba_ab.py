@@ -6,12 +6,15 @@ Run on the real TPU: python scripts/tpu_ba_ab.py [--views 40 --points 4000]
 
 import argparse
 import importlib.util
+import os
 import subprocess
 import sys
 import tempfile
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OLD_COMMIT = "6eed90b^"  # parent of the scatter-free rewrite
 
