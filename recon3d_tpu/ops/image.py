@@ -205,11 +205,14 @@ def bilinear_sample_auto(
     """bilinear_sample with automatic TPU dispatch: MXU formulation for
     small 2D images, gather formulation otherwise.
 
-    Always contracts in exact f32: the bf16 MXU variant was A/B-measured
-    on a v5e chip (scripts/tpu_warp_ab.py, 2026-08-18) at +3% standalone
-    (228 vs 221 M samples/s) but -3% on the end-to-end PatchMatch bench
-    (2.86 vs 2.96 MP/s) — the warp contraction is not the bottleneck once
-    fused, so the precision trade buys nothing."""
+    The Pallas path contracts at the MXU's DEFAULT precision (inputs
+    rounded to bf16, f32 accumulate): ~4e-3 * max|img| sample error —
+    noise-level for NCC photoconsistency — and the measured-fast choice.
+    On-chip A/Bs (scripts/tpu_warp_ab.py + bench.py, v5e, 2026-08-18):
+    Precision.HIGHEST costs 2.0x end-to-end PatchMatch (1.45 vs 2.92
+    MP/s); an explicit bf16-input variant was +3% standalone but -3%
+    end-to-end. Exact contraction stays available via
+    warp_pallas.bilinear_sample_pallas(exact=True) for parity tests."""
     if (
         img.ndim == 2
         and img.shape[0] * img.shape[1] <= _MXU_SAMPLE_MAX_PIXELS

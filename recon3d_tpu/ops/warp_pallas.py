@@ -5,8 +5,9 @@ materializes the tent-weight matrices Wy (P, H) and Wx (P, W) in HBM —
 hundreds of MB per dense-stereo candidate evaluation, which bounds the
 whole PatchMatch/plane-sweep pipeline on memory traffic. This kernel
 builds the weights in VMEM per tile, feeds the MXU directly, and writes
-only the (P,) samples back — HBM traffic drops from O(P*(H+W)) to O(P),
-with identical values.
+only the (P,) samples back — HBM traffic drops from O(P*(H+W)) to O(P).
+Values match the exact gather formulation to ~4e-3 (bf16 input rounding
+in the MXU dot; exact=True pins Precision.HIGHEST at 2x end-to-end cost).
 
 Layout note: weights are built TRANSPOSED — (H, 512) with the image axis
 on sublanes and the sample axis on lanes — so the lane-major coordinate
@@ -33,18 +34,21 @@ _COLS = 2048
 _TILE = _ROWS * _COLS
 
 
-def _tent_warp_kernel(imgT_ref, xs_ref, ys_ref, out_ref):
+def _tent_warp_kernel(imgT_ref, xs_ref, ys_ref, out_ref, *, exact):
     """out[p] = sum_h sum_w tent(y_p - h) * img[h, w] * tent(x_p - w).
 
-    The contraction is pinned to Precision.HIGHEST: at JAX's DEFAULT
-    matmul precision a TPU f32 dot rounds its inputs to bf16, which made
-    this kernel differ from the gather formulation by ~4e-3 on real
-    hardware (measured 2026-08-18; HIGHEST is exact to 2e-7 and costs
-    18% standalone / ~nothing end-to-end since the warp is not the
-    dense-path bottleneck). An explicit bf16-input variant was also
-    A/B-measured and removed: +3% standalone, -3% on the end-to-end
-    PatchMatch bench."""
+    Precision (both measured on a v5e chip, 2026-08-18): at JAX's DEFAULT
+    matmul precision the TPU f32 dot rounds its inputs to bf16, so samples
+    differ from the exact gather formulation by ~4e-3 * max|img| — noise-
+    level for NCC photoconsistency over [0,1] images, and the dense-path
+    default. Pinning Precision.HIGHEST (exact to 2e-7) costs 18% standalone
+    but 2.0x END-TO-END on the PatchMatch bench (1.45 vs 2.92 MP/s: every
+    candidate evaluation re-warps all source views, so the warp dominates
+    once fused) — it is therefore opt-in via exact=True for parity tests,
+    never the product default. An explicit bf16-input variant was also
+    A/B-measured and rejected: +3% standalone, -3% end-to-end."""
     W, H = imgT_ref.shape
+    prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
     ih = jax.lax.broadcasted_iota(jnp.int32, (H, _COLS), 0).astype(jnp.float32)
     iw = jax.lax.broadcasted_iota(jnp.int32, (W, _COLS), 0).astype(jnp.float32)
     imgT = imgT_ref[:]
@@ -54,7 +58,7 @@ def _tent_warp_kernel(imgT_ref, xs_ref, ys_ref, out_ref):
         wyT = jnp.maximum(0.0, 1.0 - jnp.abs(ih - y[None, :]))   # (H, 512)
         rowsT = jnp.dot(imgT, wyT,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=prec)
         wxT = jnp.maximum(0.0, 1.0 - jnp.abs(iw - x[None, :]))   # (W, 512)
         out_ref[0, r, :] = jnp.sum(rowsT * wxT, axis=0)
 
@@ -62,12 +66,14 @@ def _tent_warp_kernel(imgT_ref, xs_ref, ys_ref, out_ref):
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "exact"))
 def _tent_warp_flat(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
-                    interpret: bool = False):
+                    interpret: bool = False, exact: bool = False):
     """img (H, W) f32; xs, ys (P,) finite, pre-clipped to the image bounds.
     Returns (P,) bilinear samples. interpret=True runs the Pallas
-    interpreter (any backend — used by the CPU test suite for parity)."""
+    interpreter (any backend — used by the CPU test suite for parity);
+    exact=True pins the MXU contraction to Precision.HIGHEST (see
+    _tent_warp_kernel)."""
     H, W = img.shape
     P = xs.shape[0]
     n_tiles = (P + _TILE - 1) // _TILE
@@ -75,7 +81,7 @@ def _tent_warp_flat(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     xs_p = jnp.pad(xs, (0, Pp - P)).reshape(n_tiles, _ROWS, _COLS)
     ys_p = jnp.pad(ys, (0, Pp - P)).reshape(n_tiles, _ROWS, _COLS)
     out = pl.pallas_call(
-        _tent_warp_kernel,
+        functools.partial(_tent_warp_kernel, exact=exact),
         out_shape=jax.ShapeDtypeStruct((n_tiles, _ROWS, _COLS), jnp.float32),
         grid=(n_tiles,),
         in_specs=[
@@ -98,9 +104,12 @@ def _tent_warp_flat(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
 
 
 def bilinear_sample_pallas(img: jnp.ndarray, coords: jnp.ndarray,
-                           fill: float = 0.0, interpret: bool = False):
-    """Drop-in for ops.image.bilinear_sample (2D images): same values, same
-    validity semantics, Pallas tent-warp kernel underneath."""
+                           fill: float = 0.0, interpret: bool = False,
+                           exact: bool = False):
+    """Drop-in for ops.image.bilinear_sample (2D images): same validity
+    semantics, Pallas tent-warp kernel underneath. Values match the gather
+    formulation to ~4e-3 * max|img| at the default MXU precision, or to
+    2e-7 with exact=True (2x slower end-to-end — parity-test use only)."""
     H, W = img.shape
     x = coords[..., 0]
     y = coords[..., 1]
@@ -112,6 +121,6 @@ def bilinear_sample_pallas(img: jnp.ndarray, coords: jnp.ndarray,
     yc = jnp.clip(jnp.where(jnp.isfinite(y), y, 0.0), 0, H - 1)
     shape = xc.shape
     out = _tent_warp_flat(
-        img, xc.reshape(-1), yc.reshape(-1), interpret=interpret,
+        img, xc.reshape(-1), yc.reshape(-1), interpret=interpret, exact=exact,
     ).reshape(shape)
     return jnp.where(valid, out, fill), valid
