@@ -202,6 +202,18 @@ def main(argv=None) -> int:
             mesh = make_mesh(MeshConfig(model_parallel=1), devices=devs)
             print(f"[mesh] data-parallel over {mesh.shape['data']} devices")
 
+    # Dense-stage working scales, prescaled at image-LOAD time (before any
+    # heavy device phase): host numpy measured 10-50x slower for tens of
+    # seconds right after device work on single-vCPU tunneled hosts, which
+    # turned the dense backends' 0.3 s image prep into 34-60 s.
+    will_mvs = args.mvs or (args.mesh and not (args.stereo and not args.mvs))
+    will_stereo = args.stereo or args.combined
+    prescales = set()
+    if will_mvs and not args.fast:
+        prescales.add(cfg.patchmatch.scale)
+    if will_stereo and not args.fast:
+        prescales.add(cfg.plane_sweep.scale)
+
     with maybe_trace(args.profile):
         pipeline = SfMPipeline(
             calibration_path=args.calibration,
@@ -209,6 +221,7 @@ def main(argv=None) -> int:
             neural_mode=args.neural,
             config=cfg,
             mesh=mesh,
+            prescale_hints=tuple(sorted(prescales)),
         )
 
         ckpt = None
@@ -287,6 +300,9 @@ def main(argv=None) -> int:
                     out = rec.reconstruct(
                         images, poses, sparse_points=points, mesh=mesh,
                         checkpointer=ckpt, return_maps=want_maps,
+                        host_small=pipeline.image_set.prescaled.get(
+                            round(float(cfg.patchmatch.scale), 6)
+                        ),
                     )
                     dp, dc = out[:2]
                     if want_maps:
@@ -312,6 +328,9 @@ def main(argv=None) -> int:
                     out = rec.reconstruct(
                         images, poses, sparse_points=points, mesh=mesh,
                         return_maps=mesh_from_stereo,
+                        host_small=pipeline.image_set.prescaled.get(
+                            round(float(cfg.plane_sweep.scale), 6)
+                        ),
                     )
                     dp, dc = out[:2]
                     if mesh_from_stereo:

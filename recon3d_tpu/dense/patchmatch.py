@@ -388,10 +388,18 @@ class PatchMatchMVS:
         mesh=None,
         checkpointer=None,
         return_maps: bool = False,
+        host_small: Optional[np.ndarray] = None,
     ):
         """With return_maps=True, returns (points, colors, maps) where maps
         carries the per-view depth/confidence maps and their geometry —
-        the input the TSDF mesh stage (dense/tsdf.py) consumes."""
+        the input the TSDF mesh stage (dense/tsdf.py) consumes.
+
+        host_small: optional (N, H*scale, W*scale, 3) prescaled color stack
+        indexed like `images` (ImageSet.small_color). Pass it when it was
+        computed at load time: on single-vCPU tunneled-TPU hosts, numpy
+        runs 10-50x slower for tens of seconds right after heavy device
+        phases (a 0.33 s resize measured at 34-60 s here after the sparse
+        stage), so the resize must not happen inside this stage."""
         cfg = self.config
         t0 = time.time()
         ids = sorted(poses.keys())
@@ -415,7 +423,10 @@ class PatchMatchMVS:
         from recon3d_tpu.io.hostimg import resize_batch_np, rgb_to_gray_np
 
         t_r0 = time.time()
-        small = resize_batch_np(images[ids], (Hs, Ws))
+        if host_small is not None and host_small.shape[1:3] == (Hs, Ws):
+            small = np.asarray(host_small[ids], np.float32)
+        else:
+            small = resize_batch_np(images[ids], (Hs, Ws))
         t_resize = time.time() - t_r0
         grays = rgb_to_gray_np(small)
         row = {i: r for r, i in enumerate(ids)}

@@ -247,10 +247,13 @@ class PlaneSweepReconstructor:
         max_ref_views: Optional[int] = None,
         mesh=None,
         return_maps: bool = False,
+        host_small: Optional[np.ndarray] = None,
     ):
         """With return_maps=True, returns (points, colors, maps) — per-ref
         depth/consistency-count maps for the TSDF mesh stage (same contract
-        as PatchMatchMVS.reconstruct)."""
+        as PatchMatchMVS.reconstruct). host_small: optional load-time
+        prescaled (N, H*scale, W*scale, 3) color stack (see
+        PatchMatchMVS.reconstruct for why it matters on tunneled hosts)."""
         cfg = self.config
         t0 = time.time()
         ids = sorted(poses.keys())
@@ -269,7 +272,10 @@ class PlaneSweepReconstructor:
         # never cross the link.
         from recon3d_tpu.io.hostimg import resize_batch_np, rgb_to_gray_np
 
-        small = resize_batch_np(images[ids], (Hs, Ws))
+        if host_small is not None and host_small.shape[1:3] == (Hs, Ws):
+            small = np.asarray(host_small[ids], np.float32)
+        else:
+            small = resize_batch_np(images[ids], (Hs, Ws))
         grays = rgb_to_gray_np(small)
         id_row = {i: r for r, i in enumerate(ids)}
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -44,6 +44,24 @@ class ImageSet:
     names: List[str]
     sizes: np.ndarray
     scale: float = 1.0
+    # Host-side cache of working-scale color stacks keyed by scale factor,
+    # filled at LOAD time (SfMPipeline prescale_hints). Rationale: on
+    # single-vCPU tunneled-TPU hosts, plain numpy work measured 10-50x
+    # slower for tens of seconds right after heavy device phases (observed
+    # 34-60 s for a 0.33 s resize inside the dense prep); doing the resize
+    # before any device phase sidesteps the whole stall.
+    prescaled: Dict[float, np.ndarray] = field(default_factory=dict)
+
+    def small_color(self, scale: float) -> np.ndarray:
+        """(V, H*scale, W*scale, 3) float32 color stack, cached per scale."""
+        key = round(float(scale), 6)
+        if key not in self.prescaled:
+            from recon3d_tpu.io.hostimg import resize_batch_np
+
+            h = int(self.color.shape[1] * scale)
+            w = int(self.color.shape[2] * scale)
+            self.prescaled[key] = resize_batch_np(self.color, (h, w))
+        return self.prescaled[key]
 
 
 def list_images(image_dir: str) -> List[str]:

@@ -215,6 +215,7 @@ class SfMPipeline:
         neural_mode: bool = False,
         config: Optional[ReconstructionConfig] = None,
         mesh=None,
+        prescale_hints: Tuple[float, ...] = (),
     ):
         self.config = config or (
             ReconstructionConfig.fast() if fast_mode else ReconstructionConfig()
@@ -222,6 +223,12 @@ class SfMPipeline:
         # optional jax.sharding.Mesh: pair-matching chunks shard over its
         # 'data' axis (multi-chip hosts); None = single-device jit path
         self.mesh = mesh
+        # Dense-stage working scales to prescale at LOAD time: host numpy
+        # runs 10-50x slower for tens of seconds right after heavy device
+        # phases on single-vCPU tunneled hosts, so the dense backends'
+        # image prep must happen before the sparse stage touches the
+        # device (ImageSet.small_color cache).
+        self.prescale_hints = tuple(prescale_hints)
         self.camera: Optional[Camera] = (
             load_calibration(calibration_path) if calibration_path else None
         )
@@ -277,6 +284,8 @@ class SfMPipeline:
             max_images=max_images,
         )
         self.camera = self.image_set.camera
+        for s in self.prescale_hints:
+            self.image_set.small_color(s)
         return self.image_set
 
     def set_image_set(self, image_set: ImageSet):
