@@ -97,3 +97,25 @@ def test_exif_focal_initialization(tmp_path):
     iset2 = load_image_set(str(d2))
     f2 = float(np.asarray(iset2.camera.K)[0, 0])
     assert abs(f2 - 1.2 * 144) < 1e-3
+
+
+def test_imageset_small_color_cache(rng):
+    """ImageSet.small_color: matches resize_batch_np, caches per scale, and
+    the dense backends' host_small fast path consumes it (the load-time
+    prescale that keeps host prep out of the post-device slowdown window,
+    cli.py prescale hints)."""
+    from recon3d_tpu.camera import Camera
+    from recon3d_tpu.io.dataset import ImageSet
+
+    color = rng.random((4, 48, 64, 3)).astype(np.float32)
+    iset = ImageSet(
+        gray=rgb_to_gray_np(color),
+        color=color,
+        camera=Camera.create(60.0, 60.0, 32.0, 24.0),
+        names=[f"im{i}" for i in range(4)],
+        sizes=np.tile([48, 64], (4, 1)),
+    )
+    s = iset.small_color(0.25)
+    np.testing.assert_allclose(s, resize_batch_np(color, (12, 16)), atol=1e-6)
+    assert iset.small_color(0.25) is s  # cached, not recomputed
+    assert round(0.25, 6) in iset.prescaled
