@@ -26,15 +26,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# One grid step processes an (8, 2048) block of samples: 8 unrolled rows of
-# 2048 lane-resident samples each — wide N keeps the MXU contraction
-# (W, H) @ (H, 2048) pipelined instead of overhead-bound.
+# One grid step processes an (8, cols) block of samples: 8 unrolled rows of
+# lane-resident samples each. The tile width is chosen PER CALL from the
+# static sample count: padding waste dominates throughput (P=19.2k, the
+# dense working scale, padded to 2x16384 tiles at cols=2048 wasted 41% of
+# all warp work — measured 2.95 vs 3.26 MP/s end-to-end after the fix),
+# while narrower tiles only pay a small per-grid-step overhead (cols=512
+# measured 2% below cols=1280 at equal padding). Candidates are lane
+# multiples, widest-first so ties go to the best-pipelined contraction.
 _ROWS = 8
-_COLS = 2048
-_TILE = _ROWS * _COLS
+_COL_CANDIDATES = (2048, 1792, 1536, 1280, 1024, 768, 640, 512)
 
 
-def _tent_warp_kernel(imgT_ref, xs_ref, ys_ref, out_ref, *, exact):
+def _pick_cols(P: int) -> int:
+    """Tile width minimizing padded sample count for a P-sample call."""
+    def padded(c):
+        tile = _ROWS * c
+        return ((P + tile - 1) // tile) * tile
+
+    return min(_COL_CANDIDATES, key=lambda c: (padded(c), -c))
+
+
+def _tent_warp_kernel(imgT_ref, xs_ref, ys_ref, out_ref, *, cols, exact):
     """out[p] = sum_h sum_w tent(y_p - h) * img[h, w] * tent(x_p - w).
 
     Precision (both measured on a v5e chip, 2026-08-18): at JAX's DEFAULT
@@ -49,8 +62,8 @@ def _tent_warp_kernel(imgT_ref, xs_ref, ys_ref, out_ref, *, exact):
     A/B-measured and rejected: +3% standalone, -3% end-to-end."""
     W, H = imgT_ref.shape
     prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
-    ih = jax.lax.broadcasted_iota(jnp.int32, (H, _COLS), 0).astype(jnp.float32)
-    iw = jax.lax.broadcasted_iota(jnp.int32, (W, _COLS), 0).astype(jnp.float32)
+    ih = jax.lax.broadcasted_iota(jnp.int32, (H, cols), 0).astype(jnp.float32)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (W, cols), 0).astype(jnp.float32)
     imgT = imgT_ref[:]
     for r in range(_ROWS):
         y = ys_ref[0, r, :]                            # (512,) on lanes
@@ -76,22 +89,24 @@ def _tent_warp_flat(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     _tent_warp_kernel)."""
     H, W = img.shape
     P = xs.shape[0]
-    n_tiles = (P + _TILE - 1) // _TILE
-    Pp = n_tiles * _TILE
-    xs_p = jnp.pad(xs, (0, Pp - P)).reshape(n_tiles, _ROWS, _COLS)
-    ys_p = jnp.pad(ys, (0, Pp - P)).reshape(n_tiles, _ROWS, _COLS)
+    cols = _pick_cols(P)
+    tile = _ROWS * cols
+    n_tiles = (P + tile - 1) // tile
+    Pp = n_tiles * tile
+    xs_p = jnp.pad(xs, (0, Pp - P)).reshape(n_tiles, _ROWS, cols)
+    ys_p = jnp.pad(ys, (0, Pp - P)).reshape(n_tiles, _ROWS, cols)
     out = pl.pallas_call(
-        functools.partial(_tent_warp_kernel, exact=exact),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, _ROWS, _COLS), jnp.float32),
+        functools.partial(_tent_warp_kernel, cols=cols, exact=exact),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, _ROWS, cols), jnp.float32),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((W, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _ROWS, _COLS), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _ROWS, cols), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _ROWS, _COLS), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _ROWS, cols), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _ROWS, _COLS), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, _ROWS, cols), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * Pp * H * (W + 1),
