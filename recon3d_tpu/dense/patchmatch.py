@@ -27,10 +27,18 @@ Redesign for TPU (not a port of the torch loops):
 
 Cost semantics match the reference: each pixel is reprojected with its own
 depth hypothesis into each source view and scored with windowed NCC on the
-warped image; the normal field is carried, propagated, and refined as state
-(reference :275-281) but does not enter the cost (reference _compute_patch_cost
-:323-390 uses depth only). Average cost over valid views; pixels seen by <2
-views get +inf (reference :386-388).
+warped image. Average cost over valid views; pixels seen by <2 views get
++inf (reference :386-388).
+
+Normals: the reference carries a random normal field as loop state
+(propagated and refined alongside depth, :275-281) but its cost never reads
+it (reference _compute_patch_cost :323-390 uses depth only), so that state
+is selection-correlated noise that costs 3x the depth field's bytes in
+every propagation/refinement/selection step. Here the loop state is depth
+only, and the returned normal map is DERIVED from the converged depth field
+(normals_from_depth: cross product of the backprojected surface tangents) —
+geometrically meaningful where the reference's was decorative, and faster
+(bench A/B in docs/perf_model.md).
 """
 
 from __future__ import annotations
@@ -141,8 +149,23 @@ def _eval_cost(depth, rays, ref_gray, src_grays, K, R_ref, t_ref,
     return cost, ncc, ok
 
 
-def _normalize(v):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+def normals_from_depth(depth: jnp.ndarray, rays: jnp.ndarray) -> jnp.ndarray:
+    """Camera-frame surface normals of a depth field, (H, W, 3) unit.
+
+    Central differences of the backprojected surface P = rays * depth give
+    the tangents; their cross product is the normal, sign-fixed to face the
+    camera (n . P < 0). Border pixels replicate (zero tangent) and fall back
+    to the camera-facing (0, 0, -1)."""
+    P = rays * depth[..., None]
+    tu = _shift2d(P, 0, -1) - _shift2d(P, 0, 1)   # d/dx
+    tv = _shift2d(P, -1, 0) - _shift2d(P, 1, 0)   # d/dy
+    n = jnp.cross(tu, tv)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = jnp.where(norm > 1e-12, n / jnp.maximum(norm, 1e-12),
+                  jnp.array([0.0, 0.0, -1.0], depth.dtype))
+    # Face the camera: the camera sits at the origin looking down +z, so a
+    # camera-facing normal has n . P < 0 at the surface point P.
+    return jnp.where(jnp.sum(n * P, axis=-1, keepdims=True) > 0, -n, n)
 
 
 def _smooth_field(key, shape, block: int = 8, dist: str = "uniform"):
@@ -207,19 +230,11 @@ def patchmatch_depth(
     Kinv = jnp.linalg.inv(K)
     rays = jnp.einsum("ij,hwj->hwi", Kinv, pix_h, precision=_HI)
 
-    k_depth, k_norm, key = jax.random.split(key, 3)
+    k_depth, key = jax.random.split(key)
     # Log-uniform depth init (reference :268-272), spatially smooth so the
     # windowed evaluation sees coherent hypotheses (see _smooth_field).
     u = 0.5 * (_smooth_field(k_depth, (H, W)) + 1.0)
     depth = jnp.exp(u * (jnp.log(dmax) - jnp.log(dmin)) + jnp.log(dmin))
-    # Camera-facing normals with lateral perturbation (reference :275-281).
-    nxy = _smooth_field(k_norm, (2, H, W), dist="normal") * 0.3
-    normal = _normalize(
-        jnp.concatenate(
-            [jnp.moveaxis(nxy, 0, -1), -jnp.ones((H, W, 1), ref_gray.dtype)],
-            axis=-1,
-        )
-    )
 
     cost_fn = functools.partial(
         _eval_cost,
@@ -228,19 +243,16 @@ def patchmatch_depth(
         z_floor=dmin * 0.05,  # scale-relative near-camera validity floor
     )
 
-    def keep_best(depth, normal, cand_d, cand_n):
+    def keep_best(depth, cand_d):
         """Evaluate current map + (C, H, W) candidates in one vmap; keep the
         per-pixel argmin. The current map is re-scored each round rather than
         carrying its cost: after a per-pixel mix, window NCC of the assembled
         field differs from the stored pointwise min (a stale carried cost —
         as in reference :445-455 — blocks later genuine improvements)."""
         fields_d = jnp.concatenate([depth[None], cand_d], axis=0)
-        fields_n = jnp.concatenate([normal[None], cand_n], axis=0)
         costs = jax.vmap(lambda d: cost_fn(d)[0])(fields_d)   # (C+1, H, W)
         ci = jnp.argmin(costs, axis=0)                        # (H, W)
-        d_sel = jnp.take_along_axis(fields_d, ci[None], axis=0)[0]
-        n_sel = jnp.take_along_axis(fields_n, ci[None, ..., None], axis=0)[0]
-        return d_sel, n_sel
+        return jnp.take_along_axis(fields_d, ci[None], axis=0)[0]
 
     # Multi-scale ("jump flooding") propagation offsets: good hypotheses
     # spread exponentially instead of 1 px/iteration (the reference's
@@ -253,19 +265,17 @@ def patchmatch_depth(
         for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1))
     ]
 
-    def iteration(carry, it):
+    def iteration(depth, it):
         # One PatchMatch round as a scan body: compiled once, not unrolled.
-        depth, normal = carry
         # Spatial propagation: all neighbor hypotheses in one batch.
-        cand_d = jnp.stack([_shift2d(depth, dy, dx) for dy, dx in shifts])
-        cand_n = jnp.stack([_shift2d(normal, dy, dx) for dy, dx in shifts])
-        depth, normal = keep_best(depth, normal, cand_d, cand_n)
+        depth = keep_best(
+            depth, jnp.stack([_shift2d(depth, dy, dx) for dy, dx in shifts])
+        )
 
         # Random refinement, one batch (reference :459-491): sample s gets an
         # exponentially smaller perturbation range, so each iteration probes
         # coarse-to-fine simultaneously instead of one range per iteration.
-        k_it = jax.random.fold_in(key, it)
-        kd, kn = jax.random.split(k_it)
+        kd = jax.random.fold_in(key, it)
         scales = 0.5 ** (
             jnp.arange(num_samples, dtype=ref_gray.dtype) + it
         )  # (S,)
@@ -273,25 +283,20 @@ def patchmatch_depth(
             _smooth_field(kd, (num_samples, H, W))
             * scales[:, None, None] * (dmax - dmin)
         )
-        cand_d = jnp.clip(depth[None] + dd, dmin, dmax)
-        dn = (
-            _smooth_field(kn, (num_samples, 3, H, W), dist="normal")
-            * (0.5 * scales)[:, None, None, None]
-        )
-        cand_n = _normalize(normal[None] + jnp.moveaxis(dn, 1, -1))
-        depth, normal = keep_best(depth, normal, cand_d, cand_n)
-        return (depth, normal), None
+        depth = keep_best(depth, jnp.clip(depth[None] + dd, dmin, dmax))
+        return depth, None
 
-    (depth, normal), _ = jax.lax.scan(
-        iteration, (depth, normal), jnp.arange(num_iterations)
-    )
+    depth, _ = jax.lax.scan(iteration, depth, jnp.arange(num_iterations))
 
     # Final confidence: number of source views with NCC above threshold
     # (reference _compute_confidence :493-534).
     cost, ncc, ok = cost_fn(depth)
     confidence = jnp.sum((ncc > ncc_threshold) & ok, axis=0)
     return DepthNormalMap(
-        depth=depth, normal=normal, confidence=confidence, cost=cost
+        depth=depth,
+        normal=normals_from_depth(depth, rays),
+        confidence=confidence,
+        cost=cost,
     )
 
 
