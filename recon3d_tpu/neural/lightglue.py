@@ -193,7 +193,7 @@ def extract_matches(
     nn0 = jnp.argmax(scores, axis=1)
     nn1 = jnp.argmax(scores, axis=0)
     mutual = nn1[nn0] == jnp.arange(scores.shape[0])
-    best = jnp.take_along_axis(scores, nn0[:, None], axis=1)[:, 0]
+    best = jnp.max(scores, axis=1)  # == scores[i, nn0[i]] without the gather
     ok = mutual & (best > threshold) & valid0
     return LightGlueMatches(
         idx2=jnp.where(ok, nn0.astype(jnp.int32), -1), score=best, mask=ok

@@ -142,7 +142,7 @@ def match_descriptors_streaming(
         # each row on TPU (~40 ms/pair at 8k keypoints); two plain
         # reductions are memory-bound and ~30x cheaper.
         i1loc = jnp.argmin(dd, axis=1)
-        b1 = jnp.take_along_axis(dd, i1loc[:, None], axis=1)[:, 0]
+        b1 = jnp.min(dd, axis=1)  # == dd[argmin] without the gather
         cols = jnp.arange(dd.shape[1], dtype=jnp.int32)
         dd2 = jnp.where(cols[None, :] == i1loc[:, None], big, dd)
         b2 = jnp.min(dd2, axis=1)
