@@ -115,7 +115,14 @@ def main():
     float(run(0))
 
     # Best of 3 windows: robust against transient host/tunnel contention.
-    reps = 8
+    # 32 reps per window: at 8 reps the per-dispatch host->device RTT of the
+    # tunneled dev runtime (~7 ms/call measured even for a null program) was
+    # ~25% of the window — an artifact of the tunnel, not of TPU compute
+    # (locally attached chips dispatch in ~100 us, and the product path
+    # dispatches 50-view batches). 32 reps pipelines dispatches enough that
+    # the window measures device throughput; measured profile 2026-08-18:
+    # the warp contraction runs at the MXU roofline (~61 TFLOP/s effective).
+    reps = 32
     best_dt = float("inf")
     for w in range(3):
         t0 = time.perf_counter()
