@@ -112,24 +112,34 @@ def bench_plane_sweep(quick=False):
 
     from recon3d_tpu.dense.plane_sweep import sweep_depth_map
 
+    # 4-view vmapped batch + 16 reps: the product path sweeps views as one
+    # vmapped batch, and a single 19200-px view per dispatch measures the
+    # tunnel's per-dispatch RTT, not device throughput (the old single-view
+    # figure of 1.8 MP/s was that artifact; see docs/perf_model.md).
     rng = np.random.default_rng(0)
-    Hs, Ws, J = 120, 160, 5
-    K = np.array([[125.0, 0, Ws / 2], [0, 125.0, Hs / 2], [0, 0, 1]], np.float32)
-    ref = jnp.asarray(rng.random((Hs, Ws), np.float32))
-    srcs = jnp.asarray(rng.random((J, Hs, Ws), np.float32))
-    Rr = jnp.eye(3)
-    tr = jnp.zeros(3)
-    Rsrc = jnp.broadcast_to(jnp.eye(3), (J, 3, 3))
-    tsrc = jnp.asarray(
-        np.stack([np.array([0.3 * (i + 1), 0, 0], np.float32) for i in range(J)])
+    Hs, Ws, J, V = 120, 160, 5, 4
+    K = jnp.asarray(
+        np.array([[125.0, 0, Ws / 2], [0, 125.0, Hs / 2], [0, 0, 1]],
+                 np.float32)
     )
-    dr = jnp.asarray([0.5, 10.0], jnp.float32)
+    refs = jnp.asarray(rng.random((V, Hs, Ws), np.float32))
+    srcs = jnp.asarray(rng.random((V, J, Hs, Ws), np.float32))
+    Rr = jnp.broadcast_to(jnp.eye(3), (V, 3, 3))
+    tr = jnp.zeros((V, 3))
+    Rsrc = jnp.broadcast_to(jnp.eye(3), (V, J, 3, 3))
+    tsrc = jnp.asarray(np.broadcast_to(
+        np.stack([[0.3 * (i + 1), 0, 0] for i in range(J)]).astype(np.float32),
+        (V, J, 3),
+    ))
+    dr = jnp.broadcast_to(jnp.asarray([0.5, 10.0], jnp.float32), (V, 2))
 
     fn = jax.jit(
-        lambda: sweep_depth_map(ref, srcs, jnp.asarray(K), Rr, tr, Rsrc, tsrc, dr)
+        lambda: jax.vmap(
+            lambda a, b, c, d, e, g, h: sweep_depth_map(a, b, K, c, d, e, g, h)
+        )(refs, srcs, Rr, tr, Rsrc, tsrc, dr)
     )
-    dt = _steady(fn)
-    return {"metric": "plane_sweep", "value": round(Hs * Ws / 1e6 / dt, 2),
+    dt = _steady(fn, reps=16)
+    return {"metric": "plane_sweep", "value": round(Hs * Ws * V / 1e6 / dt, 2),
             "unit": "MP/s"}
 
 
