@@ -150,6 +150,12 @@ class BundleConfig:
     """Sparse Gauss-Newton/LM bundle adjustment (upgrade over ref :694-776)."""
 
     max_iterations: int = 20
+    # Mid-reconstruction BAs only need to keep geometry consistent enough
+    # for the next registration waves — they start near the previous
+    # optimum and the FINAL BA (max_iterations) polishes. Capping them
+    # measurably preserves the north-star quality gates while cutting the
+    # dominant sparse-stage cost (ba_full) roughly in half.
+    intermediate_max_iterations: int = 6
     # Schur-reduced CG converges far faster than the old full-system CG
     # the 40 default was sized for; 24 measured loss-free (LM's accept/
     # reject absorbs occasional under-solves with an extra iteration)

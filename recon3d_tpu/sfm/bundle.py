@@ -303,13 +303,13 @@ def _lm_step(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "cg_iters", "motion_only")
+    jax.jit, static_argnames=("cg_iters", "motion_only")
 )
 def _lm_loop(
     data: BAData,
     damping0: jnp.ndarray,
     delta: jnp.ndarray,
-    max_iters: int = 20,
+    max_iters: jnp.ndarray = 20,
     cg_iters: int = 40,
     motion_only: bool = False,
 ):
@@ -363,9 +363,14 @@ def bundle_adjust(
     kp_xy: List[np.ndarray],
     config: Optional[BundleConfig] = None,
     size_hint: Optional[Tuple[int, int, int]] = None,
+    max_iterations: Optional[int] = None,
 ):
     """Host wrapper: builds the padded observation table from pipeline state,
     runs the LM loop, returns (poses', points', stats).
+
+    max_iterations overrides config.max_iterations for this call (the
+    iteration cap is a traced scalar, so overriding costs no recompile —
+    used by the pipeline to cap mid-reconstruction BAs).
 
     observations[p] = [(cam_id, kp_id), ...]; kp_xy[cam] = (K, 2) pixels.
 
@@ -470,7 +475,11 @@ def bundle_adjust(
         data,
         jnp.asarray(config.init_damping, jnp.float32),
         jnp.asarray(config.robust_delta_px, jnp.float32),
-        max_iters=config.max_iterations,
+        max_iters=jnp.asarray(
+            config.max_iterations if max_iterations is None
+            else max_iterations,
+            jnp.int32,
+        ),
         cg_iters=config.cg_iterations,
         motion_only=config.motion_only,
     )

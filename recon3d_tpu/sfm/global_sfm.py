@@ -362,11 +362,11 @@ def run_global_sfm(pipeline) -> None:
     for _ in range(3):
         pipeline.bundle_adjustment_light()
         _solve_points(pipeline, table, cfg.sfm.max_reproj_error_px * 3.0)
-    pipeline.bundle_adjustment_full()
+    pipeline.bundle_adjustment_full(final=True)
     _solve_points(pipeline, table, cfg.sfm.max_reproj_error_px * 2.0)
-    pipeline.bundle_adjustment_full()
+    pipeline.bundle_adjustment_full(final=True)
     pipeline.drop_invalid_observations(cfg.sfm.max_reproj_error_px)
-    pipeline.bundle_adjustment_full()
+    pipeline.bundle_adjustment_full(final=True)
     # cameras outside the averaged pose graph (disconnected / too few
     # cheirality inliers) get a second chance through the incremental
     # machinery: batched PnP against the global points
@@ -375,7 +375,7 @@ def run_global_sfm(pipeline) -> None:
     )
     if pipeline.failed:
         pipeline.try_recover_images()
-        pipeline.bundle_adjustment_full()
+        pipeline.bundle_adjustment_full(final=True)
     # final cheirality/reproj sweep: the last BA can push a tiny-parallax
     # track behind its cameras (depth unconstrained); drop it rather than
     # report it (a single behind-camera point blows up the mean-reproj stat)

@@ -923,9 +923,14 @@ class SfMPipeline:
             self.poses[i] = (Rn[r], tn[r])
         print(f"[sfm] motion refinement: reproj {float(e0):.3f} -> {float(e1):.3f} px")
 
-    def bundle_adjustment_full(self):
+    def bundle_adjustment_full(self, final: bool = False):
         """Full sparse LM bundle adjustment over all cameras and points
-        (sfm/bundle.py) — the upgrade over the reference's PnP-resolve loop."""
+        (sfm/bundle.py) — the upgrade over the reference's PnP-resolve loop.
+
+        final=False caps the LM at config.bundle.intermediate_max_iterations:
+        mid-reconstruction BAs start near the previous optimum and only need
+        to keep geometry consistent for the next waves; the final=True call
+        runs the full budget."""
         if len(self.points3d) < 8 or len(self.registered) < 2:
             return
         from recon3d_tpu.sfm.bundle import bundle_adjust
@@ -947,6 +952,10 @@ class SfMPipeline:
             self.kp_xy,
             self.config.bundle,
             size_hint=hint,
+            max_iterations=(
+                None if final
+                else self.config.bundle.intermediate_max_iterations
+            ),
         )
         self.poses = {c: (np.asarray(R), np.asarray(t)) for c, (R, t) in new_poses.items()}
         self.points3d = [p for p in new_points.astype(np.float32)]
@@ -1081,7 +1090,7 @@ class SfMPipeline:
         t_ba = time.time()
         self.bundle_adjustment_light()
         self.try_recover_images()
-        self.bundle_adjustment_full()
+        self.bundle_adjustment_full(final=True)
         self.drop_invalid_observations()
         self._normalize_reconstruction()
         self.stats["final_ba_time"] = time.time() - t_ba
