@@ -7,15 +7,18 @@ expressed as five box-filtered moment maps and left to XLA to fuse into
 the surrounding candidate-evaluation program.
 
 Why no hand-written Pallas kernel: a fused-NCC pallas_call was built and
-measured on a v5e chip inside the PatchMatch candidate batch (bench.py
-config) at 45 MP/s vs 122 MP/s for this XLA formulation. The loss is
+A/B-measured on a v5e chip inside the PatchMatch candidate batch (bench.py
+config) at ~2.7x slower than this XLA formulation. The loss is
 structural, not a tuning artifact — the NCC consumes *warped* source
 planes, and XLA fuses the warp, the moment box-filters, and the cost
 reduction into one HBM pass over the candidate batch; a pallas_call
 boundary in the middle forces the warped planes (J per candidate) to
 materialize in HBM, costing more bandwidth than the kernel saves. A
 winning kernel would have to subsume the whole backproject->warp->NCC
-chain, which XLA already fuses well (256.9 MP/s end-to-end, BENCH_r01).
+chain; that chain's warp half IS hand-written (ops/warp_pallas.py, which
+feeds this NCC), and the combined path measures at the MXU roofline
+(docs/perf_model.md), so there is nothing left for a bigger kernel to
+recover.
 """
 
 from __future__ import annotations

@@ -380,6 +380,9 @@ def bundle_adjust(
     growth bucket (compiles dominate BA wall-clock on a growing scene; the
     padded-slot compute they buy costs far less warm time).
     """
+    import time as _time
+
+    t_prep0 = _time.time()
     config = config or BundleConfig()
     hC, hP, hO = size_hint or (0, 0, 0)
     cam_ids = sorted(poses.keys())
@@ -467,10 +470,12 @@ def bundle_adjust(
     # _residuals multiplies by data.obs_w internally.
     r_init = _residuals(params, data, jnp.ones_like(data.obs_w))
     rms0 = float(jnp.sqrt(jnp.sum(r_init**2) / max(O, 1)))
+    t_prep = _time.time() - t_prep0
 
     # The whole accept/reject LM loop runs on-device as ONE program: with a
     # high-latency device link, 20 host-driven steps cost ~1 s of round
     # trips each; a lax.while_loop costs one dispatch.
+    t_solve0 = _time.time()
     R_f, t_f, X_f, iters_f = _lm_loop(
         data,
         jnp.asarray(config.init_damping, jnp.float32),
@@ -492,5 +497,9 @@ def bundle_adjust(
     new_points = np.asarray(data.X0)[:nP]
     r_fin = _residuals(params, data, jnp.ones_like(data.obs_w))
     rms1 = float(jnp.sqrt(jnp.sum(r_fin**2) / max(O, 1)))
-    stats = {"iterations": iters, "rms_before": rms0, "rms_after": rms1, "num_obs": O}
+    stats = {
+        "iterations": iters, "rms_before": rms0, "rms_after": rms1,
+        "num_obs": O, "prep_s": round(t_prep, 3),
+        "solve_fetch_s": round(_time.time() - t_solve0, 3),
+    }
     return new_poses, new_points, stats

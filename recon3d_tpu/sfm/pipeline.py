@@ -591,6 +591,11 @@ class SfMPipeline:
         cfg = self.config.sfm
         if not cands:
             return []
+        det = self.stats.setdefault(
+            "register_detail_s",
+            {"prep": 0.0, "solve_fetch": 0.0, "accept": 0.0, "waves": 0},
+        )
+        tm = time.time()
         # Batch axis padded to a pow2 bucket: the wave size ramps 1,1,2,3,5...
         # and an unpadded batch would compile a fresh PnP program per wave.
         B = _pad_pow2(len(cands), lo=1, hi=1024)
@@ -604,6 +609,8 @@ class SfMPipeline:
             vp[b, : len(kps)] = 1
         thr = jnp.asarray(np.asarray(cfg.pnp_thresholds_px, np.float32))
         keys = jax.random.split(self._next_key(), B)
+        det["prep"] += time.time() - tm
+        tm = time.time()
         res = estimate_pose_pnp_wave(
             keys, self.camera.K,
             jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(vp), thr,
@@ -613,6 +620,9 @@ class SfMPipeline:
         tb = np.asarray(res.t)               # (B, T, 3)
         n_inl_b = np.asarray(res.num_inliers)  # (B, T)
         inl_b = np.asarray(res.inliers)      # (B, T, cap)
+        det["solve_fetch"] += time.time() - tm
+        det["waves"] += 1
+        tm = time.time()
 
         debug_dir = os.environ.get("RECON3D_DEBUG_REGISTER_DIR")
         accepted: List[int] = []
@@ -640,6 +650,7 @@ class SfMPipeline:
                         self.observations[pid].append((i, int(kp)))
                 accepted.append(i)
                 break
+        det["accept"] += time.time() - tm
         return accepted
 
     def register_image(self, i: int) -> bool:
@@ -959,9 +970,16 @@ class SfMPipeline:
         )
         self.poses = {c: (np.asarray(R), np.asarray(t)) for c, (R, t) in new_poses.items()}
         self.points3d = [p for p in new_points.astype(np.float32)]
+        det = self.stats.setdefault(
+            "ba_full_detail_s", {"prep": 0.0, "solve_fetch": 0.0, "calls": 0}
+        )
+        det["prep"] += stats.get("prep_s", 0.0)
+        det["solve_fetch"] += stats.get("solve_fetch_s", 0.0)
+        det["calls"] += 1
         print(f"[sfm] full BA: rms {stats.get('rms_before', 0):.3f} -> "
               f"{stats.get('rms_after', 0):.3f} px over {stats.get('num_obs', 0)} obs "
-              f"({stats.get('iterations', 0)} iters)")
+              f"({stats.get('iterations', 0)} iters, prep {stats.get('prep_s', 0):.2f}s, "
+              f"solve {stats.get('solve_fetch_s', 0):.2f}s)")
 
     def _mean_reproj_error(self) -> float:
         batch = self._camera_obs_batch()
