@@ -405,14 +405,50 @@ def bundle_adjust(
     C = _bucket(max(nC, hC), 4)
     P = _bucket(max(nP, hP), 256)
 
-    oc, op, oxy = [], [], []
-    for pid, obs in enumerate(observations):
-        for (cam, kp) in obs:
-            if cam in cam_row:
-                oc.append(cam_row[cam])
-                op.append(pid)
-                oxy.append(kp_xy[cam][kp])
-    O = len(oc)
+    # Flatten the per-point observation lists in C-level passes (fromiter +
+    # repeat + table lookups). The interpreter double-loop this replaces ran
+    # once per BA call right after a device burst — squarely inside the
+    # single-vCPU host's 10-50x post-burst slowdown window (BASELINE.md).
+    import itertools
+
+    n_pts_obs = len(observations)
+    counts = np.fromiter(
+        (len(o) for o in observations), np.int64, count=n_pts_obs
+    )
+    O_all = int(counts.sum())
+    if O_all == 0:
+        return poses, points, {"iterations": 0}
+    flat = np.fromiter(
+        itertools.chain.from_iterable(
+            itertools.chain.from_iterable(observations)
+        ),
+        np.int64, count=2 * O_all,
+    ).reshape(-1, 2)
+    cams_f, kps_f = flat[:, 0], flat[:, 1]
+    # cam id -> row lookup table; rows for cameras absent from `poses`
+    # stay -1 and their observations are dropped (as the loop did).
+    size = int(max(int(cams_f.max()), max(cam_ids))) + 1
+    row_of = np.full(size, -1, np.int64)
+    row_of[np.asarray(cam_ids, np.int64)] = np.arange(nC, dtype=np.int64)
+    keep = row_of[cams_f] >= 0
+    oc_arr = row_of[cams_f[keep]].astype(np.int32)
+    op_arr = np.repeat(
+        np.arange(n_pts_obs, dtype=np.int64), counts
+    )[keep].astype(np.int32)
+    # gather pixels through one concatenated keypoint table
+    kp_off = np.zeros(len(kp_xy) + 1, np.int64)
+    np.cumsum(
+        np.fromiter((len(k) for k in kp_xy), np.int64, count=len(kp_xy)),
+        out=kp_off[1:],
+    )
+    kp_flat = (
+        np.concatenate(
+            [np.asarray(k, np.float32).reshape(-1, 2) for k in kp_xy]
+        )
+        if kp_xy else np.zeros((0, 2), np.float32)
+    )
+    oxy_arr = kp_flat[kp_off[cams_f[keep]] + kps_f[keep]]
+    O = int(oc_arr.shape[0])
     if O == 0:  # all observations reference cameras absent from `poses`
         return poses, points, {"iterations": 0}
     cap = _bucket(max(O, hO), 256)  # observation axis: same x4 bucket scheme
@@ -420,17 +456,15 @@ def bundle_adjust(
     obs_pt = np.zeros(cap, np.int32)
     obs_xy = np.zeros((cap, 2), np.float32)
     obs_w = np.zeros(cap, np.float32)
-    obs_cam[:O] = oc
-    obs_pt[:O] = op
-    obs_xy[:O] = np.asarray(oxy, np.float32)
+    obs_cam[:O] = oc_arr
+    obs_pt[:O] = op_arr
+    obs_xy[:O] = oxy_arr
     obs_w[:O] = 1.0
 
     # Scatter-free reduction indices (see BAData): the table is point-major,
     # so point segments are contiguous; cameras get a stable sort
     # permutation. Padded rows (w=0 => zero Jacobians) sit outside every
     # real segment and are harmless wherever the permutation leaves them.
-    op_arr = np.asarray(op, np.int32)
-    oc_arr = np.asarray(oc, np.int32)
     pt_start = np.searchsorted(op_arr, np.arange(P), side="left").astype(np.int32)
     pt_end = np.searchsorted(op_arr, np.arange(P), side="right").astype(np.int32)
     cam_perm = np.concatenate([

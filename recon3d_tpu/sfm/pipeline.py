@@ -523,6 +523,16 @@ class SfMPipeline:
 
     # -- stage 5: incremental loop -----------------------------------------------
 
+    def _points_as_array(self) -> np.ndarray:
+        """self.points3d as one (P, 3) float32 array in a single C-level
+        pass. Replaces per-pid `np.stack([self.points3d[p] for p in ...])`
+        list-comps in the wave hot paths — on this single-vCPU host those
+        interpreter loops run inside the post-device-burst slowdown window
+        (BASELINE.md caveat) and were a dominant host cost per wave."""
+        if not self.points3d:
+            return np.zeros((0, 3), np.float32)
+        return np.asarray(self.points3d, dtype=np.float32)
+
     def _note_kp_link(self, cam: int, kp: int, pid: int):
         """Record that (cam, kp) now observes point pid, and propagate the
         2D-3D correspondence to every unregistered match partner of that
@@ -603,8 +613,9 @@ class SfMPipeline:
         Xp = np.zeros((B, cap, 3), np.float32)
         xp = np.zeros((B, cap, 2), np.float32)
         vp = np.zeros((B, cap), np.float32)
+        P_arr = self._points_as_array()
         for b, (i, kps, pids) in enumerate(cands):
-            Xp[b, : len(pids)] = np.stack([self.points3d[p] for p in pids])
+            Xp[b, : len(pids)] = P_arr[pids]
             xp[b, : len(kps)] = self.kp_xy[i][kps]
             vp[b, : len(kps)] = 1
         thr = jnp.asarray(np.asarray(cfg.pnp_thresholds_px, np.float32))
@@ -644,10 +655,18 @@ class SfMPipeline:
                 )
                 self.registered.add(i)
                 self.corr.pop(i, None)  # index only serves unregistered images
-                for kp, pid, good in zip(kps, pids, inl_b[b, ti][:n]):
-                    if good and self.kp_to_point[i][kp] < 0:
-                        self._note_kp_link(i, int(kp), int(pid))
-                        self.observations[pid].append((i, int(kp)))
+                # touch only the accepted inlier links (array-side mask);
+                # the interpreter loop is O(new links), not O(candidates)
+                sel = (
+                    np.asarray(inl_b[b, ti][:n], bool)
+                    & (self.kp_to_point[i][kps] < 0)
+                )
+                for kp, pid in zip(
+                    np.asarray(kps)[sel].tolist(),
+                    np.asarray(pids)[sel].tolist(),
+                ):
+                    self._note_kp_link(i, kp, pid)
+                    self.observations[pid].append((i, kp))
                 accepted.append(i)
                 break
         det["accept"] += time.time() - tm
@@ -682,7 +701,7 @@ class SfMPipeline:
                 return
             pids = from_pts[sel]
             kps = to_kps[sel]
-            X = np.stack([self.points3d[p] for p in pids]).astype(np.float32)
+            X = self._points_as_array()[pids]
             x = self.kp_xy[to_cam][kps].astype(np.float32)
             cap = _pad_pow2(len(X))
             Xp = np.zeros((cap, 3), np.float32)
@@ -771,7 +790,9 @@ class SfMPipeline:
             return 0
 
         # ---- phase 1: batched link checks (one side already has a point)
-        link_pid, link_cam, link_kp = [], [], []
+        # Candidate links are kept as per-pair array segments and fused with
+        # one concatenate — no per-link interpreter work until acceptance.
+        pid_parts, cam_parts, kp_parts = [], [], []
         fresh_sets = []
         for (a, b) in partners:
             m = self.matches[(a, b)]
@@ -783,12 +804,26 @@ class SfMPipeline:
                 (pb, a, kpa, (pb >= 0) & (pa < 0)),
             ):
                 if sel.any():
-                    link_pid.extend(from_pts[sel])
-                    link_cam.extend([to_cam] * int(sel.sum()))
-                    link_kp.extend(to_kps[sel])
+                    pid_parts.append(from_pts[sel])
+                    cam_parts.append(
+                        np.full(int(sel.sum()), to_cam, np.int64)
+                    )
+                    kp_parts.append(np.asarray(to_kps[sel], np.int64))
             fresh_sets.append((a, b, kpa[(pa < 0) & (pb < 0)], kpb[(pa < 0) & (pb < 0)]))
 
-        if link_pid:
+        link_pid = (
+            np.concatenate(pid_parts) if pid_parts
+            else np.zeros(0, np.int64)
+        )
+        link_cam = (
+            np.concatenate(cam_parts) if cam_parts
+            else np.zeros(0, np.int64)
+        )
+        link_kp = (
+            np.concatenate(kp_parts) if kp_parts
+            else np.zeros(0, np.int64)
+        )
+        if len(link_pid):
             cams = sorted(self.registered)
             cam_row = {c: r for r, c in enumerate(cams)}
             # camera table padded to a pow2 bucket (gather never hits pad rows)
@@ -802,11 +837,24 @@ class SfMPipeline:
             Xp = np.zeros((cap, 3), np.float32)
             xp = np.zeros((cap, 2), np.float32)
             ci = np.zeros(cap, np.int32)
-            Xp[:n] = np.stack([self.points3d[p] for p in link_pid])
-            xp[:n] = np.stack(
-                [self.kp_xy[c][k] for c, k in zip(link_cam, link_kp)]
+            Xp[:n] = self._points_as_array()[link_pid]
+            # one concatenated keypoint table + fancy index instead of a
+            # per-link interpreter loop
+            kp_off = np.zeros(len(self.kp_xy) + 1, np.int64)
+            np.cumsum(
+                np.fromiter(
+                    (len(k) for k in self.kp_xy), np.int64,
+                    count=len(self.kp_xy),
+                ),
+                out=kp_off[1:],
             )
-            ci[:n] = [cam_row[c] for c in link_cam]
+            kp_flat = np.concatenate(
+                [np.asarray(k, np.float32).reshape(-1, 2) for k in self.kp_xy]
+            )
+            xp[:n] = kp_flat[kp_off[link_cam] + link_kp]
+            row_of = np.full(max(cams) + 1, -1, np.int64)
+            row_of[np.asarray(cams, np.int64)] = np.arange(len(cams))
+            ci[:n] = row_of[link_cam]
             e = np.asarray(
                 _reproj_errors_gather(
                     self.camera.K, jnp.asarray(Rs), jnp.asarray(ts),
@@ -814,7 +862,9 @@ class SfMPipeline:
                 )
             )[:n]
             for k in np.nonzero(e < cfg.max_reproj_error_px)[0]:
-                cam, kp, pid = link_cam[k], int(link_kp[k]), int(link_pid[k])
+                cam, kp, pid = (
+                    int(link_cam[k]), int(link_kp[k]), int(link_pid[k])
+                )
                 if self.kp_to_point[cam][kp] < 0:
                     self._note_kp_link(cam, kp, pid)
                     self.observations[pid].append((cam, kp))
@@ -888,10 +938,11 @@ class SfMPipeline:
         if not cams:
             return None
         obs = []
+        P_arr = self._points_as_array()
         for i in cams:
             kps = np.nonzero(self.kp_to_point[i] >= 0)[0]
             pids = self.kp_to_point[i][kps]
-            X = np.stack([self.points3d[p] for p in pids]).astype(np.float32)
+            X = P_arr[pids]
             x = self.kp_xy[i][kps].astype(np.float32)
             obs.append((X, x))
         cap = _pad_pow2(max(len(X) for X, _ in obs))
@@ -946,7 +997,7 @@ class SfMPipeline:
             return
         from recon3d_tpu.sfm.bundle import bundle_adjust
 
-        points = np.stack(self.points3d)
+        points = self._points_as_array()
         # Predict FINAL sizes from registration progress so the LM program
         # compiles once per run instead of once per x4 growth bucket:
         # points/observations grow roughly linearly with registered views.
