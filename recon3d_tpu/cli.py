@@ -138,8 +138,8 @@ def load_from_colmap(pipeline, model_dir: str, image_dir: str,
         )
     pipeline.poses = dict(poses)
     pipeline.registered = set(poses.keys())
-    pipeline.points3d = [p for p in model.points.astype(np.float32)]
-    pipeline.point_colors = [c for c in model.colors]
+    pipeline.points3d = model.points.astype(np.float32)
+    pipeline.point_colors = model.colors
 
     points = model.points.astype(np.float32).reshape(-1, 3)
     colors = model.colors.reshape(-1, 3)
@@ -242,8 +242,8 @@ def main(argv=None) -> int:
                 restored = ckpt.restore_sparse(pipeline) if ckpt else False
                 if restored:
                     print("[ckpt] restored sparse reconstruction")
-                    points = np.stack(pipeline.points3d) if pipeline.points3d else np.zeros((0, 3), np.float32)
-                    colors = np.stack(pipeline.point_colors) if pipeline.point_colors else np.zeros((0, 3), np.uint8)
+                    points = pipeline.points3d.copy()
+                    colors = pipeline.point_colors.copy()
                     pipeline.load_images(str(image_dir), args.max_images)
                     poses = dict(pipeline.poses)
                 elif args.global_sfm:

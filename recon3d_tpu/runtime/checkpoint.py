@@ -56,16 +56,8 @@ class StageCheckpointer:
         ids = sorted(pipeline.poses.keys())
         Rs = np.stack([pipeline.poses[i][0] for i in ids]) if ids else np.zeros((0, 3, 3))
         ts = np.stack([pipeline.poses[i][1] for i in ids]) if ids else np.zeros((0, 3))
-        points = (
-            np.stack(pipeline.points3d)
-            if pipeline.points3d
-            else np.zeros((0, 3), np.float32)
-        )
-        colors = (
-            np.stack(pipeline.point_colors)
-            if pipeline.point_colors
-            else np.zeros((0, 3), np.uint8)
-        )
+        points = np.asarray(pipeline.points3d, np.float32).reshape(-1, 3)
+        colors = np.asarray(pipeline.point_colors, np.uint8).reshape(-1, 3)
         _atomic_savez(
             self.sparse_path,
             pose_ids=np.asarray(ids, np.int64),
@@ -114,6 +106,6 @@ class StageCheckpointer:
         }
         pipeline.registered = set(int(i) for i in ids)
         pipeline.failed = set(int(i) for i in data["failed"].tolist())
-        pipeline.points3d = [p for p in data["points"]]
-        pipeline.point_colors = [c for c in data["colors"]]
+        pipeline.points3d = data["points"]
+        pipeline.point_colors = data["colors"]
         return True

@@ -452,18 +452,18 @@ def _solve_points(pipeline, table, gate_px: float) -> None:
         ]
         if len(obs) < 2:
             continue
-        pid = len(pipeline.points3d)
+        pid = len(pipeline._pts)
         for c, k in obs:
             pipeline._note_kp_link(c, k, pid)
-        pipeline.points3d.append(X[t].astype(np.float32))
+        pipeline._pts.append(X[t].astype(np.float32))
         pipeline.observations.append(obs)
         if color_img is not None:
             c0, k0 = obs[0]
             x, y = pipeline.kp_xy[c0][k0]
             xi = min(max(int(round(x)), 0), W - 1)
             yi = min(max(int(round(y)), 0), H - 1)
-            pipeline.point_colors.append(
+            pipeline._cols.append(
                 (color_img[c0, yi, xi] * 255).astype(np.uint8)
             )
         else:
-            pipeline.point_colors.append(np.full(3, 180, np.uint8))
+            pipeline._cols.append(np.full(3, 180, np.uint8))

@@ -183,6 +183,53 @@ def _triangulate_validated_batch(
     )(R1s, t1s, R2s, t2s, x1s, x2s, masks)
 
 
+class _PointStore:
+    """Growable (N, dim) numpy array: amortized O(1) append, O(1) view.
+
+    The reconstruction's point/color tables were Python lists of (3,) rows;
+    every wave's device prep then paid an O(P) list->array conversion (and
+    on this single-vCPU host that interpreter work lands inside the
+    post-device-burst slowdown window, BASELINE.md caveat). A doubling
+    buffer makes appends C-level and the full-table view free."""
+
+    __slots__ = ("_buf", "_n", "_dim", "_dtype")
+
+    def __init__(self, dim: int, dtype, data=None):
+        self._dim = dim
+        self._dtype = np.dtype(dtype)
+        if data is None or len(data) == 0:
+            self._buf = np.empty((256, dim), self._dtype)
+            self._n = 0
+        else:
+            arr = np.asarray(data, self._dtype).reshape(-1, dim)
+            self._buf = arr.copy()
+            self._n = len(arr)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def append(self, row) -> int:
+        if self._n == len(self._buf):
+            grown = np.empty((2 * len(self._buf), self._dim), self._dtype)
+            grown[: self._n] = self._buf
+            self._buf = grown
+        self._buf[self._n] = row
+        self._n += 1
+        return self._n - 1
+
+    def view(self) -> np.ndarray:
+        """Zero-copy (N, dim) view of the live rows (do not mutate)."""
+        return self._buf[: self._n]
+
+    def replace(self, data) -> None:
+        if data is None or len(data) == 0:
+            self._n = 0
+            return
+        arr = np.asarray(data, self._dtype).reshape(-1, self._dim)
+        self._buf = arr.copy()
+        self._n = len(arr)
+
+
 class _LazyFeatureList:
     """Sequence view over stacked (V, ...) features: slices one image's
     arrays only when accessed (match-graph bridging needs a handful)."""
@@ -252,12 +299,13 @@ class SfMPipeline:
         self.features: List = []
         self.features_stacked = None
         self.kp_xy: List[np.ndarray] = []
+        self._kp_cache = None
         self.matches: Dict[Tuple[int, int], Dict[str, np.ndarray]] = {}
         self.poses: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         self.registered: Set[int] = set()
         self.failed: Set[int] = set()
-        self.points3d: List[np.ndarray] = []
-        self.point_colors: List[np.ndarray] = []
+        self._pts = _PointStore(3, np.float32)
+        self._cols = _PointStore(3, np.uint8)
         self.observations: List[List[Tuple[int, int]]] = []
         self.kp_to_point: List[np.ndarray] = []
         # Incremental 2D-3D correspondence index: for each UNregistered
@@ -301,6 +349,7 @@ class SfMPipeline:
         n = self.image_set.gray.shape[0]
         self.features = []
         self.kp_xy = []
+        self._kp_cache = None
         if hasattr(self.extractor, "extract_batch"):
             # stacked (V, ...) device arrays; per-image views only on demand
             # (eagerly slicing every image costs hundreds of dispatches)
@@ -524,14 +573,54 @@ class SfMPipeline:
     # -- stage 5: incremental loop -----------------------------------------------
 
     def _points_as_array(self) -> np.ndarray:
-        """self.points3d as one (P, 3) float32 array in a single C-level
-        pass. Replaces per-pid `np.stack([self.points3d[p] for p in ...])`
-        list-comps in the wave hot paths — on this single-vCPU host those
-        interpreter loops run inside the post-device-burst slowdown window
-        (BASELINE.md caveat) and were a dominant host cost per wave."""
-        if not self.points3d:
-            return np.zeros((0, 3), np.float32)
-        return np.asarray(self.points3d, dtype=np.float32)
+        """The (P, 3) float32 point table — a zero-copy view of the growable
+        store (read-only by convention). Earlier rounds paid an O(P)
+        list->array conversion here on every wave hot-path call."""
+        return self._pts.view()
+
+    @property
+    def points3d(self) -> np.ndarray:
+        """(P, 3) float32 view of the point table. Assignment accepts an
+        array or a list of (3,) rows (checkpoint restore, CLI injection)."""
+        return self._pts.view()
+
+    @points3d.setter
+    def points3d(self, value):
+        self._pts.replace(value)
+
+    @property
+    def point_colors(self) -> np.ndarray:
+        """(P, 3) uint8 view of the per-point colors."""
+        return self._cols.view()
+
+    @point_colors.setter
+    def point_colors(self, value):
+        self._cols.replace(value)
+
+    def _kp_table(self):
+        """(kp_flat (sum N, 2) float32, kp_off (V+1,) int64): every image's
+        keypoints concatenated, with per-image offsets. kp_xy is immutable
+        after feature extraction, so this is built once and reused by every
+        wave's link checks and by bundle adjustment prep (previously rebuilt
+        O(scene) per call)."""
+        if self._kp_cache is None:
+            kp_off = np.zeros(len(self.kp_xy) + 1, np.int64)
+            np.cumsum(
+                np.fromiter(
+                    (len(k) for k in self.kp_xy), np.int64,
+                    count=len(self.kp_xy),
+                ),
+                out=kp_off[1:],
+            )
+            kp_flat = (
+                np.concatenate(
+                    [np.asarray(k, np.float32).reshape(-1, 2)
+                     for k in self.kp_xy]
+                )
+                if self.kp_xy else np.zeros((0, 2), np.float32)
+            )
+            self._kp_cache = (kp_flat, kp_off)
+        return self._kp_cache
 
     def _note_kp_link(self, cam: int, kp: int, pid: int):
         """Record that (cam, kp) now observes point pid, and propagate the
@@ -752,15 +841,12 @@ class SfMPipeline:
         Hh, Ww = color_img.shape[:2]
         created = 0
         for idx in np.nonzero(okn)[0]:
-            if len(self.points3d) >= cfg.max_points:
+            if len(self._pts) >= cfg.max_points:
                 break
-            pid = len(self.points3d)
-            self.points3d.append(Xn[idx])
+            pid = self._pts.append(Xn[idx])
             u = int(np.clip(round(x1[idx, 0]), 0, Ww - 1))
             v = int(np.clip(round(x1[idx, 1]), 0, Hh - 1))
-            self.point_colors.append(
-                (color_img[v, u] * 255).astype(np.uint8)
-            )
+            self._cols.append((color_img[v, u] * 255).astype(np.uint8))
             self.observations.append([(a, int(ka[idx])), (b, int(kb[idx]))])
             self._note_kp_link(a, int(ka[idx]), pid)
             self._note_kp_link(b, int(kb[idx]), pid)
@@ -839,22 +925,16 @@ class SfMPipeline:
             ci = np.zeros(cap, np.int32)
             Xp[:n] = self._points_as_array()[link_pid]
             # one concatenated keypoint table + fancy index instead of a
-            # per-link interpreter loop
-            kp_off = np.zeros(len(self.kp_xy) + 1, np.int64)
-            np.cumsum(
-                np.fromiter(
-                    (len(k) for k in self.kp_xy), np.int64,
-                    count=len(self.kp_xy),
-                ),
-                out=kp_off[1:],
-            )
-            kp_flat = np.concatenate(
-                [np.asarray(k, np.float32).reshape(-1, 2) for k in self.kp_xy]
-            )
+            # per-link interpreter loop (cached: kp_xy is immutable here)
+            kp_flat, kp_off = self._kp_table()
             xp[:n] = kp_flat[kp_off[link_cam] + link_kp]
             row_of = np.full(max(cams) + 1, -1, np.int64)
             row_of[np.asarray(cams, np.int64)] = np.arange(len(cams))
             ci[:n] = row_of[link_cam]
+            # every link source camera must be registered (links are only
+            # created against registered partners) — a -1 here would gather
+            # a padded identity pose and silently pass garbage errors
+            assert (ci[:n] >= 0).all(), "link references unregistered camera"
             e = np.asarray(
                 _reproj_errors_gather(
                     self.camera.K, jnp.asarray(Rs), jnp.asarray(ts),
@@ -906,7 +986,7 @@ class SfMPipeline:
             Hh, Ww = color_img.shape[:2]
             x1 = self.kp_xy[a][ka]
             for idx in np.nonzero(ok_b[r][: len(ka)])[0]:
-                if len(self.points3d) >= cfg.max_points:
+                if len(self._pts) >= cfg.max_points:
                     break
                 # a fresh match may have been linked by an earlier pair in
                 # this same batch — skip to keep tracks consistent
@@ -915,13 +995,10 @@ class SfMPipeline:
                     or self.kp_to_point[b][kb[idx]] >= 0
                 ):
                     continue
-                pid = len(self.points3d)
-                self.points3d.append(X_b[r, idx])
+                pid = self._pts.append(X_b[r, idx])
                 u = int(np.clip(round(x1[idx, 0]), 0, Ww - 1))
                 v = int(np.clip(round(x1[idx, 1]), 0, Hh - 1))
-                self.point_colors.append(
-                    (color_img[v, u] * 255).astype(np.uint8)
-                )
+                self._cols.append((color_img[v, u] * 255).astype(np.uint8))
                 self.observations.append([(a, int(ka[idx])), (b, int(kb[idx]))])
                 self._note_kp_link(a, int(ka[idx]), pid)
                 self._note_kp_link(b, int(kb[idx]), pid)
@@ -1018,9 +1095,10 @@ class SfMPipeline:
                 None if final
                 else self.config.bundle.intermediate_max_iterations
             ),
+            kp_table=self._kp_table(),
         )
         self.poses = {c: (np.asarray(R), np.asarray(t)) for c, (R, t) in new_poses.items()}
-        self.points3d = [p for p in new_points.astype(np.float32)]
+        self.points3d = new_points.astype(np.float32)
         det = self.stats.setdefault(
             "ba_full_detail_s", {"prep": 0.0, "solve_fetch": 0.0, "calls": 0}
         )
@@ -1183,10 +1261,8 @@ class SfMPipeline:
             f"{self.stats.get('incremental_breakdown_s')})"
         )
 
-        points = np.stack(self.points3d) if self.points3d else np.zeros((0, 3), np.float32)
-        colors = (
-            np.stack(self.point_colors) if self.point_colors else np.zeros((0, 3), np.uint8)
-        )
+        points = self.points3d.copy()
+        colors = self.point_colors.copy()
         poses = {
             i: CameraPose(R=jnp.asarray(R), t=jnp.asarray(t))
             for i, (R, t) in sorted(self.poses.items())
@@ -1200,15 +1276,14 @@ class SfMPipeline:
         (reference :884-914). Applied to points and camera centers."""
         if len(self.points3d) < 10:
             return
-        P = np.stack(self.points3d)
+        P = self.points3d
         center = np.median(P, axis=0)
         r = np.linalg.norm(P - center, axis=1)
         p90 = np.percentile(r, 90)
         if p90 < 1e-9:
             return
         s = self.config.sfm.normalize_scale / p90
-        P = (P - center) * s
-        self.points3d = [p for p in P.astype(np.float32)]
+        self.points3d = ((P - center) * s).astype(np.float32)
         for i, (R, t) in self.poses.items():
             C = -R.T @ t
             Cn = (C - center) * s
@@ -1265,11 +1340,7 @@ class SfMPipeline:
 
     def save_ply(self, path: str):
         """Write sparse cloud (reference :916-938)."""
-        points = np.stack(self.points3d) if self.points3d else np.zeros((0, 3), np.float32)
-        colors = (
-            np.stack(self.point_colors) if self.point_colors else np.zeros((0, 3), np.uint8)
-        )
-        save_ply(path, points, colors)
+        save_ply(path, self.points3d.copy(), self.point_colors.copy())
 
     def save_cameras_ply(self, path: str):
         poses = [
@@ -1316,14 +1387,8 @@ class SfMPipeline:
             f"reproj {self.stats['mean_reproj_px']:.3f} px, "
             f"{self.stats['total_time']:.1f}s"
         )
-        points = (
-            np.stack(self.points3d) if self.points3d
-            else np.zeros((0, 3), np.float32)
-        )
-        colors = (
-            np.stack(self.point_colors) if self.point_colors
-            else np.zeros((0, 3), np.uint8)
-        )
+        points = self.points3d.copy()
+        colors = self.point_colors.copy()
         poses = {
             i: CameraPose(R=jnp.asarray(R), t=jnp.asarray(t))
             for i, (R, t) in sorted(self.poses.items())
@@ -1338,14 +1403,8 @@ class SfMPipeline:
         to an external COLMAP binary (tools/run_colmap.py parity module)."""
         from recon3d_tpu.io.colmap import save_colmap_text
 
-        points = (
-            np.stack(self.points3d) if self.points3d
-            else np.zeros((0, 3), np.float32)
-        )
-        colors = (
-            np.stack(self.point_colors) if self.point_colors
-            else np.zeros((0, 3), np.uint8)
-        )
+        points = self.points3d.copy()
+        colors = self.point_colors.copy()
         iset = self.image_set
         save_colmap_text(
             out_dir,
