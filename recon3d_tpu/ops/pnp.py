@@ -82,6 +82,122 @@ def pnp_dlt(
     return R, t
 
 
+def _real_cubic_root(a, b, c):
+    """A real root of z^3 + a z^2 + b z + c = 0 (largest real root).
+
+    Trigonometric/Cardano closed form — branch-free (jnp.where), so it
+    vmaps over RANSAC hypothesis batches on TPU. All scalars."""
+    p = b - a * a / 3.0
+    q = 2.0 * a**3 / 27.0 - a * b / 3.0 + c
+    disc = (q / 2.0) ** 2 + (p / 3.0) ** 3
+    # disc > 0: one real root via Cardano (cbrt of signed magnitudes)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    cbrt = lambda x: jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
+    t_card = cbrt(-q / 2.0 + sq) + cbrt(-q / 2.0 - sq)
+    # disc <= 0: three real roots; take the largest (k = 0 branch)
+    m = 2.0 * jnp.sqrt(jnp.maximum(-p / 3.0, 1e-20))
+    arg = jnp.clip(3.0 * q / (p * m + jnp.where(p == 0, 1e-20, 0.0)), -1.0, 1.0)
+    t_trig = m * jnp.cos(jnp.arccos(arg) / 3.0)
+    t = jnp.where(disc > 0, t_card, t_trig)
+    return t - a / 3.0
+
+
+def _quartic_roots(c4, c3, c2, c1, c0):
+    """Real roots of c4 v^4 + ... + c0 = 0 via Ferrari's method.
+
+    Returns (roots (4,), valid (4,) bool). Closed-form and branch-free so
+    it vmaps cleanly; complex roots are masked out rather than raised.
+    """
+    bad_lead = jnp.abs(c4) < 1e-12
+    c4s = jnp.where(bad_lead, 1.0, c4)
+    p, q, r, s = c3 / c4s, c2 / c4s, c1 / c4s, c0 / c4s
+    # depressed quartic y^4 + al y^2 + be y + ga, v = y - p/4
+    al = q - 3.0 * p * p / 8.0
+    be = r - p * q / 2.0 + p**3 / 8.0
+    ga = s - p * r / 4.0 + p * p * q / 16.0 - 3.0 * p**4 / 256.0
+    # resolvent cubic z^3 + 2 al z^2 + (al^2 - 4 ga) z - be^2 = 0 has a
+    # real root z0 >= 0 (product of roots = be^2 >= 0)
+    z0 = jnp.maximum(_real_cubic_root(2.0 * al, al * al - 4.0 * ga, -be * be), 0.0)
+    w = jnp.sqrt(z0)
+    # (y^2 + w y + (al + z0)/2 - be/(2w)) (y^2 - w y + (al + z0)/2 + be/(2w))
+    half = (al + z0) / 2.0
+    corr = jnp.where(w > 1e-10, be / (2.0 * jnp.where(w > 1e-10, w, 1.0)), 0.0)
+    d1 = w * w - 4.0 * (half - corr)
+    d2 = w * w - 4.0 * (half + corr)
+    s1 = jnp.sqrt(jnp.maximum(d1, 0.0))
+    s2 = jnp.sqrt(jnp.maximum(d2, 0.0))
+    ys = jnp.stack([
+        (-w + s1) / 2.0, (-w - s1) / 2.0, (w + s2) / 2.0, (w - s2) / 2.0,
+    ])
+    valid = jnp.stack([d1 >= 0, d1 >= 0, d2 >= 0, d2 >= 0]) & ~bad_lead
+    return ys - p / 4.0, valid
+
+
+def p3p_grunert(X: jnp.ndarray, x_norm: jnp.ndarray):
+    """P3P minimal solver (Grunert 1841 / Haralick et al. 1994 formulation).
+
+    X: (3, 3) world points; x_norm: (3, 2) normalized image coords.
+    Returns (models (4, 12) flattened [R|t], valid (4,) bool) — up to four
+    pose solutions; disambiguation happens in RANSAC scoring (each solution
+    is its own hypothesis).
+
+    This is the TPU-native replacement for OpenCV's SOLVEPNP_P3P branch of
+    the reference's registration cascade (reference
+    src/core/sfm_pipeline.py:567-584): 3-point samples need ~eps^-3
+    hypotheses instead of the 6-point DLT's eps^-6, which is what keeps
+    registration alive at low inlier ratios.
+    """
+    f = jnp.concatenate([x_norm, jnp.ones((3, 1), x_norm.dtype)], axis=1)
+    f = f / jnp.linalg.norm(f, axis=1, keepdims=True)      # unit bearings
+    P1, P2, P3 = X[0], X[1], X[2]
+    a2 = jnp.sum((P2 - P3) ** 2)
+    b2 = jnp.sum((P1 - P3) ** 2)
+    c2 = jnp.sum((P1 - P2) ** 2)
+    b2s = jnp.where(b2 < 1e-12, 1.0, b2)
+    ca = jnp.dot(f[1], f[2])   # cos(alpha): angle opposite side a
+    cb = jnp.dot(f[0], f[2])
+    cg = jnp.dot(f[0], f[1])
+    A = a2 / b2s
+    B = c2 / b2s
+    AmB = A - B                      # (a^2 - c^2)/b^2
+    ApB = A + B
+    # Grunert quartic in v = s3/s1 (coefficients re-derived symbolically
+    # from the three law-of-cosines constraints; several published
+    # transcriptions disagree in signs)
+    A4 = (AmB - 1.0) ** 2 - 4.0 * B * ca * ca
+    A3 = 4.0 * (AmB * (1.0 - AmB) * cb - (1.0 - ApB) * ca * cg
+                + 2.0 * B * ca * ca * cb)
+    A2 = 2.0 * (AmB**2 - 1.0 + 2.0 * AmB**2 * cb * cb
+                + 2.0 * (1.0 - B) * ca * ca
+                - 4.0 * ApB * ca * cb * cg + 2.0 * (1.0 - A) * cg * cg)
+    A1 = 4.0 * (-AmB * (1.0 + AmB) * cb + 2.0 * A * cg * cg * cb
+                - (1.0 - ApB) * ca * cg)
+    A0 = (1.0 + AmB) ** 2 - 4.0 * A * cg * cg
+    vs, v_ok = _quartic_roots(A4, A3, A2, A1, A0)          # (4,)
+
+    degenerate = (a2 < 1e-12) | (b2 < 1e-12) | (c2 < 1e-12)
+
+    def pose_from_v(v):
+        den = 2.0 * (cg - v * ca)
+        den = jnp.where(jnp.abs(den) < 1e-10, 1e-10, den)
+        u = ((-1.0 + AmB) * v * v - 2.0 * AmB * cb * v + 1.0 + AmB) / den
+        s1sq = b2 / jnp.maximum(1.0 + v * v - 2.0 * v * cb, 1e-12)
+        s1 = jnp.sqrt(jnp.maximum(s1sq, 0.0))
+        s2 = u * s1
+        s3 = v * s1
+        ok = (s1 > 1e-9) & (s2 > 1e-9) & (s3 > 1e-9)
+        Q = jnp.stack([s1, s2, s3])[:, None] * f           # camera frame
+        # Procrustes: R = nearest rotation to sum_i Q~_i P~_i^T
+        Pc = X - jnp.mean(X, axis=0)
+        Qc = Q - jnp.mean(Q, axis=0)
+        R = nearest_rotation(einsum_hp("ni,nj->ij", Qc, Pc))
+        t = jnp.mean(Q, axis=0) - R @ jnp.mean(X, axis=0)
+        return jnp.concatenate([R.reshape(9), t]), ok
+
+    models, s_ok = jax.vmap(pose_from_v)(vs)
+    return models, v_ok & s_ok & ~degenerate
+
+
 def project_points(
     K: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray, X: jnp.ndarray
 ) -> jnp.ndarray:
@@ -211,14 +327,22 @@ def pnp_ransac_multi(
     thresholds_px: jnp.ndarray,
     num_hypotheses: int = 2048,
     refine_iterations: int = 8,
+    use_p3p: bool = True,
 ) -> PnPResult:
     """RANSAC PnP scored against a whole threshold cascade at once.
 
-    The hypothesis batch (sampling + 6-point DLT solves + residuals) is
+    The hypothesis batch (sampling + minimal solves + residuals) is
     shared across the T thresholds — only the vote and the GN polish are
     per-threshold. Result fields carry a leading (T,) axis. Replaces a
     vmap of independent single-threshold RANSACs that re-solved the same
     hypotheses T times.
+
+    The hypothesis pool is MIXED: half the budget comes from 6-point DLT
+    samples (accurate when inlier-rich), half from P3P minimal samples
+    (4 solutions per 3-point draw — a 3-point sample survives outlier
+    contamination ~eps^-3 vs the DLT's eps^-6, which is what the
+    reference's SOLVEPNP_P3P cascade branch provides,
+    reference src/core/sfm_pipeline.py:567-584).
     """
     from recon3d_tpu.ops.ransac import sample_indices
 
@@ -236,8 +360,27 @@ def pnp_ransac_multi(
         )
         return jnp.concatenate([R.reshape(9), t], axis=0)  # (12,)
 
-    idx = sample_indices(key, valid, num_hypotheses, 6)
-    models = jax.vmap(sample_solver)(idx)              # (H, 12)
+    k_dlt, k_p3p = jax.random.split(key)
+    n_tri = max(num_hypotheses // 8, 1) if use_p3p else 0
+    n_dlt = max(num_hypotheses - 4 * n_tri, 1)
+    idx = sample_indices(k_dlt, valid, n_dlt, 6)
+    models_dlt = jax.vmap(sample_solver)(idx)          # (n_dlt, 12)
+    if n_tri:
+        idx3 = sample_indices(k_p3p, valid, n_tri, 3)
+        m_p3p, ok_p3p = jax.vmap(
+            lambda i: p3p_grunert(X[i], x_norm[i])
+        )(idx3)                                        # (n_tri, 4, 12)
+        # invalid P3P solutions become no-inlier models (t_z = -1e6 puts
+        # every point behind the camera -> residual 1e9 in
+        # project_residuals_batch)
+        dead = jnp.concatenate(
+            [jnp.eye(3, dtype=X.dtype).reshape(9),
+             jnp.asarray([0.0, 0.0, -1e6], X.dtype)]
+        )
+        m_p3p = jnp.where(ok_p3p[..., None], m_p3p, dead).reshape(-1, 12)
+        models = jnp.concatenate([models_dlt, m_p3p], axis=0)   # (H, 12)
+    else:
+        models = models_dlt
     residuals = project_residuals_batch(K, models, X, x_px)  # (H, N)
 
     valid_b = valid > 0
