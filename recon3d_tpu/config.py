@@ -123,6 +123,12 @@ class PatchMatchConfig:
     num_iterations: int = 3
     num_refine_samples: int = 8
     num_source_views: int = 4
+    # Coarse-to-fine: exploration iterations run at 1/coarse_factor
+    # resolution, then fine_iterations short-radius polish rounds at full
+    # working resolution (patchmatch.py patchmatch_depth). coarse_factor=1
+    # recovers the single-level formulation.
+    coarse_factor: int = 4
+    fine_iterations: int = 1
     min_views: int = 3
     ncc_confidence_threshold: float = 0.6
     min_triangulation_angle_deg: float = 5.0

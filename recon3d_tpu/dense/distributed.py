@@ -55,6 +55,8 @@ def distributed_patchmatch(
     patch: int = 11,
     ncc_threshold: float = 0.6,
     keys: Optional[np.ndarray] = None,  # (B, key) explicit per-view keys
+    coarse_factor: int = 4,
+    fine_iterations: int = 1,
 ) -> DepthNormalMap:
     """PatchMatch a batch of reference views sharded over the mesh.
 
@@ -95,6 +97,8 @@ def distributed_patchmatch(
             num_samples=num_samples,
             patch=patch,
             ncc_threshold=ncc_threshold,
+            coarse_factor=coarse_factor,
+            fine_iterations=fine_iterations,
         )
     return DepthNormalMap(*(np.asarray(a)[:B] for a in out))
 

@@ -190,51 +190,43 @@ def _smooth_field(key, shape, block: int = 8, dist: str = "uniform"):
     return jax.image.resize(f, shape, method="linear")
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "num_iterations", "num_samples", "patch", "ncc_threshold",
-    ),
-)
-def patchmatch_depth(
-    ref_gray: jnp.ndarray,      # (H, W)
-    src_grays: jnp.ndarray,     # (J, H, W)
-    K: jnp.ndarray,             # (3, 3) at working scale
-    R_ref: jnp.ndarray,
-    t_ref: jnp.ndarray,
-    R_srcs: jnp.ndarray,        # (J, 3, 3)
-    t_srcs: jnp.ndarray,        # (J, 3)
-    depth_range: jnp.ndarray,   # (2,) = (dmin, dmax)
-    key: jnp.ndarray,           # jax.random key
-    num_iterations: int = 3,
-    num_samples: int = 8,
-    patch: int = 11,
-    ncc_threshold: float = 0.6,
-) -> DepthNormalMap:
-    """One reference view of PatchMatch MVS as a single fused device program.
-
-    Matches reference _patchmatch_cuda (mvs_patchmatch.py:225-321) capability:
-    log-uniform random depth init, camera-facing perturbed normal init,
-    num_iterations x (spatial propagation + num_samples random refinements),
-    final per-view NCC consistency count.
-    """
-    H, W = ref_gray.shape
-    dmin, dmax = depth_range[0], depth_range[1]
-
+def _rays_for(K: jnp.ndarray, H: int, W: int, dtype) -> jnp.ndarray:
     ys, xs = jnp.meshgrid(
-        jnp.arange(H, dtype=ref_gray.dtype),
-        jnp.arange(W, dtype=ref_gray.dtype),
-        indexing="ij",
+        jnp.arange(H, dtype=dtype), jnp.arange(W, dtype=dtype), indexing="ij",
     )
     pix_h = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
     Kinv = jnp.linalg.inv(K)
-    rays = jnp.einsum("ij,hwj->hwi", Kinv, pix_h, precision=_HI)
+    return jnp.einsum("ij,hwj->hwi", Kinv, pix_h, precision=_HI)
 
-    k_depth, key = jax.random.split(key)
-    # Log-uniform depth init (reference :268-272), spatially smooth so the
-    # windowed evaluation sees coherent hypotheses (see _smooth_field).
-    u = 0.5 * (_smooth_field(k_depth, (H, W)) + 1.0)
-    depth = jnp.exp(u * (jnp.log(dmax) - jnp.log(dmin)) + jnp.log(dmin))
+
+def _scale_K(K: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Intrinsics at a 1/factor downscale under the pixel-area (half-pixel
+    center) convention jax.image.resize uses: u' = (u + 0.5)/f - 0.5."""
+    f = jnp.asarray(float(factor), K.dtype)
+    off = 0.5 / f - 0.5
+    S = jnp.asarray(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], K.dtype
+    )
+    S = S.at[0, 0].set(1.0 / f).at[1, 1].set(1.0 / f)
+    S = S.at[0, 2].set(off).at[1, 2].set(off)
+    return S @ K
+
+
+def _run_level(
+    ref_gray, src_grays, K, R_ref, t_ref, R_srcs, t_srcs,
+    dmin, dmax, key, depth0, iters: int, it_offset: int,
+    num_samples: int, patch: int, steps,
+):
+    """`iters` PatchMatch rounds (propagation + refinement) at the level's
+    resolution, starting from depth0. Returns (depth, rays, cost_fn).
+
+    The refinement perturbation schedule continues across levels via
+    it_offset (0.5^(sample + iteration) of the depth range), so full-res
+    polish iterations probe small corrections around the upsampled coarse
+    solution instead of re-exploring the whole range.
+    """
+    H, W = ref_gray.shape
+    rays = _rays_for(K, H, W, ref_gray.dtype)
 
     cost_fn = functools.partial(
         _eval_cost,
@@ -261,7 +253,6 @@ def patchmatch_depth(
     # spread exponentially instead of 1 px/iteration (the reference's
     # shifted-map scheme :415-457 moves information only one pixel per
     # iteration — far too slow for a 3-iteration budget).
-    steps = (1, 4, 16)
     shifts = [
         (dy * s, dx * s)
         for s in steps
@@ -289,7 +280,92 @@ def patchmatch_depth(
         depth = keep_best(depth, jnp.clip(depth[None] + dd, dmin, dmax))
         return depth, None
 
-    depth, _ = jax.lax.scan(iteration, depth, jnp.arange(num_iterations))
+    depth, _ = jax.lax.scan(
+        iteration, depth0, jnp.arange(iters) + it_offset
+    )
+    return depth, rays, cost_fn
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_iterations", "num_samples", "patch", "ncc_threshold",
+        "coarse_factor", "fine_iterations",
+    ),
+)
+def patchmatch_depth(
+    ref_gray: jnp.ndarray,      # (H, W)
+    src_grays: jnp.ndarray,     # (J, H, W)
+    K: jnp.ndarray,             # (3, 3) at working scale
+    R_ref: jnp.ndarray,
+    t_ref: jnp.ndarray,
+    R_srcs: jnp.ndarray,        # (J, 3, 3)
+    t_srcs: jnp.ndarray,        # (J, 3)
+    depth_range: jnp.ndarray,   # (2,) = (dmin, dmax)
+    key: jnp.ndarray,           # jax.random key
+    num_iterations: int = 3,
+    num_samples: int = 8,
+    patch: int = 11,
+    ncc_threshold: float = 0.6,
+    coarse_factor: int = 4,
+    fine_iterations: int = 1,
+) -> DepthNormalMap:
+    """One reference view of PatchMatch MVS as a single fused device program.
+
+    Matches reference _patchmatch_cuda (mvs_patchmatch.py:225-321) capability:
+    log-uniform random depth init, num_iterations x (spatial propagation +
+    num_samples random refinements), final per-view NCC consistency count.
+
+    Coarse-to-fine (round 3): the reference runs every candidate evaluation
+    full-frame at the working resolution (mvs_patchmatch.py:287-308 — 31
+    full-res field evaluations for its 3-iteration default). Here the
+    num_iterations exploration rounds run at 1/coarse_factor resolution
+    (each evaluation costs ~1/factor^2), the converged coarse field is
+    bilinearly upsampled, and only `fine_iterations` short-radius polish
+    rounds run at full resolution — severalfold fewer full-res evaluations
+    for the same search power, since PatchMatch's exploration phase only
+    needs window-scale (not pixel-scale) spatial coherence.
+    coarse_factor=1 recovers the single-level formulation exactly.
+    """
+    H, W = ref_gray.shape
+    dmin, dmax = depth_range[0], depth_range[1]
+    k_init, k_coarse, k_fine = jax.random.split(key, 3)
+
+    def log_uniform_init(k, shape):
+        u = 0.5 * (_smooth_field(k, shape) + 1.0)
+        return jnp.exp(u * (jnp.log(dmax) - jnp.log(dmin)) + jnp.log(dmin))
+
+    if coarse_factor > 1 and min(H, W) >= 4 * coarse_factor:
+        Hc, Wc = H // coarse_factor, W // coarse_factor
+        ref_c = jax.image.resize(ref_gray, (Hc, Wc), method="linear")
+        src_c = jax.image.resize(
+            src_grays, (src_grays.shape[0], Hc, Wc), method="linear"
+        )
+        Kc = _scale_K(K, coarse_factor)
+        depth_c, _, _ = _run_level(
+            ref_c, src_c, Kc, R_ref, t_ref, R_srcs, t_srcs,
+            dmin, dmax, k_coarse, log_uniform_init(k_init, (Hc, Wc)),
+            iters=num_iterations, it_offset=0,
+            num_samples=num_samples, patch=patch, steps=(1, 4, 16),
+        )
+        depth0 = jax.image.resize(depth_c, (H, W), method="linear")
+        # Full-res polish: upsampled coarse error is local (<= a coarse
+        # cell), so propagation reaches only coarse_factor px and the
+        # refinement schedule continues where the coarse level stopped.
+        depth, rays, cost_fn = _run_level(
+            ref_gray, src_grays, K, R_ref, t_ref, R_srcs, t_srcs,
+            dmin, dmax, k_fine, depth0,
+            iters=fine_iterations, it_offset=num_iterations,
+            num_samples=num_samples, patch=patch,
+            steps=(1, max(2, coarse_factor // 2), coarse_factor),
+        )
+    else:
+        depth, rays, cost_fn = _run_level(
+            ref_gray, src_grays, K, R_ref, t_ref, R_srcs, t_srcs,
+            dmin, dmax, k_coarse, log_uniform_init(k_init, (H, W)),
+            iters=num_iterations, it_offset=0,
+            num_samples=num_samples, patch=patch, steps=(1, 4, 16),
+        )
 
     # Final confidence: number of source views with NCC above threshold
     # (reference _compute_confidence :493-534).
@@ -307,6 +383,7 @@ def patchmatch_depth(
     jax.jit,
     static_argnames=(
         "num_iterations", "num_samples", "patch", "ncc_threshold",
+        "coarse_factor", "fine_iterations",
     ),
 )
 def patchmatch_depth_batch(
@@ -323,6 +400,8 @@ def patchmatch_depth_batch(
     num_samples: int = 8,
     patch: int = 11,
     ncc_threshold: float = 0.6,
+    coarse_factor: int = 4,
+    fine_iterations: int = 1,
 ) -> DepthNormalMap:
     """Batch of reference views in one device program — the unit that
     dense/distributed.py shards over chips."""
@@ -334,6 +413,8 @@ def patchmatch_depth_batch(
             num_samples=num_samples,
             patch=patch,
             ncc_threshold=ncc_threshold,
+            coarse_factor=coarse_factor,
+            fine_iterations=fine_iterations,
         )
 
     return jax.vmap(one)(
@@ -549,6 +630,8 @@ class PatchMatchMVS:
                 patch=cfg.patch_size,
                 ncc_threshold=cfg.ncc_confidence_threshold,
                 keys=keys_np[todo],
+                coarse_factor=cfg.coarse_factor,
+                fine_iterations=cfg.fine_iterations,
             )
             d_np, c_np = np.asarray(out.depth), np.asarray(out.confidence)
             computed = {v: (d_np[k], c_np[k]) for k, v in enumerate(todo)}
@@ -627,6 +710,8 @@ class PatchMatchMVS:
                 num_samples=cfg.num_refine_samples,
                 patch=cfg.patch_size,
                 ncc_threshold=cfg.ncc_confidence_threshold,
+                coarse_factor=cfg.coarse_factor,
+                fine_iterations=cfg.fine_iterations,
             )
             yield pos, out
 
