@@ -157,17 +157,22 @@ def run_reference(gt: dict, max_images=None) -> dict:
     }
 
 
-def run_ours(gt: dict, max_images=None) -> dict:
+def run_ours(gt: dict, max_images=None, mode: str = "incremental") -> dict:
     sys.path.insert(0, str(REPO))
     from recon3d_tpu.sfm.pipeline import SfMPipeline
 
     t0 = time.time()
     pipe = SfMPipeline(calibration_path=gt["calib"])
-    points, colors, poses = pipe.reconstruct(gt["image_dir"], max_images)
+    if mode == "global":
+        points, colors, poses = pipe.reconstruct_global(
+            gt["image_dir"], max_images
+        )
+    else:
+        points, colors, poses = pipe.reconstruct(gt["image_dir"], max_images)
     wall = time.time() - t0
     center_rel, rot_deg = pose_errors_vs_gt(poses, gt["Rs"], gt["ts"])
     return {
-        "name": "recon3d_tpu",
+        "name": "recon3d_tpu" + ("" if mode == "incremental" else f" ({mode})"),
         "cameras": len(poses),
         "points": len(points),
         "reproj_rms_px": float(pipe.stats["mean_reproj_px"]),
