@@ -206,6 +206,28 @@ def train(
     return state
 
 
+def _photometric_jitter(im: np.ndarray, rng) -> np.ndarray:
+    """Independent per-view photometric augmentation: gamma, gain/bias,
+    additive Gaussian noise, and an occasional box blur — the appearance
+    changes a matcher sees between real views (exposure, sampling, defocus)
+    that a homography warp alone never produces."""
+    out = im.astype(np.float32)
+    out = np.clip(out, 1e-4, 1.0) ** rng.uniform(0.7, 1.4)    # gamma
+    out = out * rng.uniform(0.6, 1.3) + rng.uniform(-0.15, 0.15)
+    if rng.uniform() < 0.5:
+        out = out + rng.normal(scale=rng.uniform(0.01, 0.05),
+                               size=out.shape).astype(np.float32)
+    if rng.uniform() < 0.25:  # 3x3 box blur via separable running means
+        k = np.ones(3, np.float32) / 3.0
+        out = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 1, out
+        )
+        out = np.apply_along_axis(
+            lambda c: np.convolve(c, k, mode="same"), 0, out
+        )
+    return np.clip(out, 0.0, 1.0)
+
+
 def train_lightglue(
     steps: int = 4096,
     batch: int = 16,
@@ -308,8 +330,14 @@ def train_lightglue(
                 else:
                     im, _ = render_shapes(rng, hw)
                 Hm = random_homography(rng, hw)
-                imgs_a.append(im)
-                imgs_b.append(warp_image(im, Hm))
+                imgs_a.append(_photometric_jitter(im, rng))
+                # Photometric augmentation on BOTH views (independent
+                # draws): a pure geometric warp leaves the two views'
+                # descriptors near-identical, so a matcher trained on warp
+                # pairs never learns appearance change and its confidence
+                # collapses on real renders (measured: 46 correct matches
+                # vs its own NN fallback's 79, docs/neural_quality.md).
+                imgs_b.append(_photometric_jitter(warp_image(im, Hm), rng))
                 Hs.append(Hm)
             stackab = np.stack(imgs_a + imgs_b)  # (2P, H, W)
             # -- device: one batched SuperPoint extraction

@@ -106,16 +106,27 @@ def _reduce_contiguous(y: jnp.ndarray, start: jnp.ndarray,
     return jnp.take(c, end, axis=0) - jnp.take(c, start, axis=0)
 
 
-def _reduce_pt(data: BAData, y: jnp.ndarray) -> jnp.ndarray:
-    """Sum per-observation rows into point rows (table is point-major)."""
-    return _reduce_contiguous(y, data.pt_start, data.pt_end)
+def _reduce_pt(data: BAData, y: jnp.ndarray, axis=None) -> jnp.ndarray:
+    """Sum per-observation rows into point rows (table is point-major).
+
+    Under shard_map (axis set) each shard reduces its local contiguous
+    segments, then one psum over the mesh axis completes the sum — the
+    observation table is the data-parallel axis of sharded BA."""
+    out = _reduce_contiguous(y, data.pt_start, data.pt_end)
+    return jax.lax.psum(out, axis) if axis else out
 
 
-def _reduce_cam(data: BAData, y: jnp.ndarray) -> jnp.ndarray:
+def _reduce_cam(data: BAData, y: jnp.ndarray, axis=None) -> jnp.ndarray:
     """Sum per-observation rows into camera rows via the sort permutation."""
-    return _reduce_contiguous(
+    out = _reduce_contiguous(
         jnp.take(y, data.cam_perm, axis=0), data.cam_start, data.cam_end
     )
+    return jax.lax.psum(out, axis) if axis else out
+
+
+def _sum_scalar(x: jnp.ndarray, axis=None) -> jnp.ndarray:
+    s = jnp.sum(x)
+    return jax.lax.psum(s, axis) if axis else s
 
 
 def _obs_res_one(xi_c, dX_p, Rc0, tc0, Xp0, xy, w, K):
@@ -178,7 +189,9 @@ def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     return adj / det[..., None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("cg_iters", "motion_only"))
+@functools.partial(
+    jax.jit, static_argnames=("cg_iters", "motion_only", "axis")
+)
 def _lm_step(
     params: BAParams,
     data: BAData,
@@ -186,6 +199,7 @@ def _lm_step(
     delta: float,
     cg_iters: int = 40,
     motion_only: bool = False,
+    axis=None,
 ):
     """One LM iteration via the Schur-reduced camera system ("Bundle
     Adjustment in the Large" RCS): eliminate all point blocks analytically
@@ -200,7 +214,12 @@ def _lm_step(
       - the CG space drops from 6C+3P to 6C (P >> C in SfM) and its
         conditioning improves enough that the same iteration budget
         actually converges,
-      - motion_only is the same program with C^{-1} = 0 (points frozen).
+      - motion_only is the same program with C^{-1} = 0 (points frozen),
+      - axis names a shard_map mesh axis for observation-parallel BA: each
+        device holds a contiguous slice of the observation table (with its
+        own per-shard segment indices); every J^T reduction and cost sum
+        psums over the axis, parameters stay replicated, and the CG loop
+        runs identically on every device.
     """
     C = params.xi.shape[0]
     P = params.dX.shape[0]
@@ -210,19 +229,19 @@ def _lm_step(
     fc6 = jnp.repeat(free_cam, 6).reshape(C, 6)
 
     r0_obs, Jc, Jp = _per_obs_jacobians(params, data, robust_w)
-    cost0 = 0.5 * jnp.sum(r0_obs * r0_obs)
+    cost0 = 0.5 * _sum_scalar(r0_obs * r0_obs, axis)
 
     # gradient halves
     g_c = _reduce_cam(
-        data, jnp.einsum("oij,oi->oj", Jc, r0_obs, precision=_HI)
+        data, jnp.einsum("oij,oi->oj", Jc, r0_obs, precision=_HI), axis
     ) * fc6                                                     # (C, 6)
     g_p = _reduce_pt(
-        data, jnp.einsum("oij,oi->oj", Jp, r0_obs, precision=_HI)
+        data, jnp.einsum("oij,oi->oj", Jp, r0_obs, precision=_HI), axis
     )                                                           # (P, 3)
 
     # per-point damped Hessian blocks and their closed-form inverses
     Cp = _reduce_pt(
-        data, jnp.einsum("oia,oib->oab", Jp, Jp, precision=_HI)
+        data, jnp.einsum("oia,oib->oab", Jp, Jp, precision=_HI), axis
     )                                                           # (P, 3, 3)
     diag_p = jnp.einsum("paa->pa", Cp)
     Cp = Cp + damping * jax.vmap(jnp.diag)(diag_p) + 1e-8 * jnp.eye(3)
@@ -231,7 +250,9 @@ def _lm_step(
     else:
         Cinv = _inv3x3(Cp)
 
-    diag_c = _reduce_cam(data, jnp.einsum("oia,oia->oa", Jc, Jc)) * fc6
+    diag_c = _reduce_cam(
+        data, jnp.einsum("oia,oia->oa", Jc, Jc), axis
+    ) * fc6
     lam_c = damping * diag_c + 1e-8                             # (C, 6)
 
     def B_apply(xc):  # camera-camera block (undamped)
@@ -240,7 +261,7 @@ def _lm_step(
             precision=_HI,
         )
         return _reduce_cam(
-            data, jnp.einsum("oij,oi->oj", Jc, u, precision=_HI)
+            data, jnp.einsum("oij,oi->oj", Jc, u, precision=_HI), axis
         )
 
     def E_apply(xp):  # camera <- point coupling
@@ -249,7 +270,7 @@ def _lm_step(
             precision=_HI,
         )
         return _reduce_cam(
-            data, jnp.einsum("oij,oi->oj", Jc, u, precision=_HI)
+            data, jnp.einsum("oij,oi->oj", Jc, u, precision=_HI), axis
         )
 
     def Et_apply(xc):  # point <- camera coupling
@@ -258,7 +279,7 @@ def _lm_step(
             precision=_HI,
         )
         return _reduce_pt(
-            data, jnp.einsum("oij,oi->oj", Jp, u, precision=_HI)
+            data, jnp.einsum("oij,oi->oj", Jp, u, precision=_HI), axis
         )
 
     def S_apply(xc):  # Schur complement: B + lam - E Cinv E^T
@@ -298,12 +319,12 @@ def _lm_step(
 
     cand = BAParams(xi=params.xi + dc, dX=params.dX + dp)
     r1 = _residuals(cand, data, robust_w)
-    cost1 = 0.5 * jnp.sum(r1 * r1)
+    cost1 = 0.5 * _sum_scalar(r1 * r1, axis)
     return cand, cost0, cost1
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cg_iters", "motion_only")
+    jax.jit, static_argnames=("cg_iters", "motion_only", "axis")
 )
 def _lm_loop(
     data: BAData,
@@ -312,6 +333,7 @@ def _lm_loop(
     max_iters: jnp.ndarray = 20,
     cg_iters: int = 40,
     motion_only: bool = False,
+    axis=None,
 ):
     """Full LM optimization (accept/reject + damping schedule) in one jitted
     while_loop. Returns (R, t, X, accepted_iterations)."""
@@ -328,7 +350,7 @@ def _lm_loop(
         params = BAParams(xi=jnp.zeros((C, 6)), dX=jnp.zeros((P, 3)))
         cand, cost0, cost1 = _lm_step(
             params, d, damping, delta,
-            cg_iters=cg_iters, motion_only=motion_only,
+            cg_iters=cg_iters, motion_only=motion_only, axis=axis,
         )
         accept = cost1 < cost0
         Rn, tn = _apply_increment(cand.xi, R0, t0)
@@ -355,6 +377,96 @@ def _lm_loop(
     return R, t, X, iters
 
 
+def _lm_loop_mesh(
+    mesh,
+    data_host: dict,
+    damping0,
+    delta,
+    max_iters,
+    cg_iters: int,
+    motion_only: bool,
+):
+    """Observation-sharded LM loop over a device mesh ('data' axis).
+
+    Each device holds a contiguous slice of the padded observation table
+    with its own per-shard segment indices (built by bundle_adjust);
+    parameters are replicated and every reduction psums (see _lm_step's
+    axis docs). This is the SURVEY §7 step-11 sharding of the BA CG:
+    observation-partitioned data parallelism, the same decomposition as
+    distributed PatchMatch's view axis.
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    obs = P("data")
+    obs2 = P("data", None)
+    in_specs = (
+        BAData(
+            K=P(), R0=P(), t0=P(), X0=P(),
+            obs_cam=obs, obs_pt=obs, obs_xy=obs2, obs_w=obs,
+            pt_start=obs2, pt_end=obs2,
+            cam_perm=obs, cam_start=obs2, cam_end=obs2,
+        ),
+        P(), P(), P(),
+    )
+
+    def fn(data, damping0, delta, max_iters):
+        # per-shard index tables arrive as (1, P)/(1, C): drop the shard dim
+        d = data._replace(
+            pt_start=data.pt_start[0], pt_end=data.pt_end[0],
+            cam_start=data.cam_start[0], cam_end=data.cam_end[0],
+        )
+        return _lm_loop(
+            d, damping0, delta, max_iters,
+            cg_iters=cg_iters, motion_only=motion_only, axis="data",
+        )
+
+    sharded = jax.jit(
+        shard_map(
+            fn, mesh=mesh, in_specs=in_specs,
+            out_specs=(P(), P(), P(), P()),
+        )
+    )
+    data = BAData(**{
+        k: jax.device_put(
+            jnp.asarray(v),
+            NamedSharding(mesh, getattr(in_specs[0], k)),
+        )
+        for k, v in data_host.items()
+    })
+    return sharded(data, damping0, delta, max_iters)
+
+
+def _shard_obs_indices(
+    n_shards: int, cap: int, O: int, oc_full: np.ndarray,
+    pt_start: np.ndarray, pt_end: np.ndarray, C: int,
+):
+    """Per-shard segment-reduction indices for an observation table split
+    into n contiguous slices of cap/n rows.
+
+    Point segments stay contiguous inside each slice (the table is
+    point-major), so per-shard bounds are the global bounds clipped into
+    the slice. Cameras get a per-shard stable sort; padded rows (w=0) sort
+    into camera 0's segment and contribute exact zeros."""
+    Oc = cap // n_shards
+    starts = np.arange(n_shards, dtype=np.int64) * Oc
+    ps = (np.clip(pt_start[None, :], starts[:, None], starts[:, None] + Oc)
+          - starts[:, None]).astype(np.int32)
+    pe = (np.clip(pt_end[None, :], starts[:, None], starts[:, None] + Oc)
+          - starts[:, None]).astype(np.int32)
+    perms, cs, ce = [], [], []
+    for s in range(n_shards):
+        loc = oc_full[starts[s]: starts[s] + Oc]
+        p = np.argsort(loc, kind="stable").astype(np.int32)
+        srt = loc[p]
+        cs.append(np.searchsorted(srt, np.arange(C), "left").astype(np.int32))
+        ce.append(np.searchsorted(srt, np.arange(C), "right").astype(np.int32))
+        perms.append(p)
+    return (
+        ps, pe, np.concatenate(perms), np.stack(cs), np.stack(ce),
+    )
+
+
 def bundle_adjust(
     K: np.ndarray,
     poses: Dict[int, Tuple[np.ndarray, np.ndarray]],
@@ -364,9 +476,18 @@ def bundle_adjust(
     config: Optional[BundleConfig] = None,
     size_hint: Optional[Tuple[int, int, int]] = None,
     max_iterations: Optional[int] = None,
+    kp_table: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    mesh=None,
 ):
     """Host wrapper: builds the padded observation table from pipeline state,
     runs the LM loop, returns (poses', points', stats).
+
+    kp_table: optional precomputed (kp_flat, kp_off) concatenation of kp_xy
+    (SfMPipeline._kp_table) — saves an O(total keypoints) rebuild per call.
+
+    mesh: optional jax.sharding.Mesh — the LM solve shards its observation
+    table over the mesh's 'data' axis (_lm_loop_mesh); None keeps the
+    single-device program.
 
     max_iterations overrides config.max_iterations for this call (the
     iteration cap is a traced scalar, so overriding costs no recompile —
@@ -430,28 +551,43 @@ def bundle_adjust(
     size = int(max(int(cams_f.max()), max(cam_ids))) + 1
     row_of = np.full(size, -1, np.int64)
     row_of[np.asarray(cam_ids, np.int64)] = np.arange(nC, dtype=np.int64)
-    keep = row_of[cams_f] >= 0
+    # A negative camera id would WRAP through the fancy index (row_of[-1]
+    # is a valid row) and silently map to the wrong camera — gate on >= 0
+    # explicitly, then on the camera being present in `poses`.
+    keep = (cams_f >= 0) & (row_of[np.clip(cams_f, 0, size - 1)] >= 0)
     oc_arr = row_of[cams_f[keep]].astype(np.int32)
     op_arr = np.repeat(
         np.arange(n_pts_obs, dtype=np.int64), counts
     )[keep].astype(np.int32)
     # gather pixels through one concatenated keypoint table
-    kp_off = np.zeros(len(kp_xy) + 1, np.int64)
-    np.cumsum(
-        np.fromiter((len(k) for k in kp_xy), np.int64, count=len(kp_xy)),
-        out=kp_off[1:],
-    )
-    kp_flat = (
-        np.concatenate(
-            [np.asarray(k, np.float32).reshape(-1, 2) for k in kp_xy]
+    if kp_table is not None:
+        kp_flat, kp_off = kp_table
+    else:
+        kp_off = np.zeros(len(kp_xy) + 1, np.int64)
+        np.cumsum(
+            np.fromiter((len(k) for k in kp_xy), np.int64, count=len(kp_xy)),
+            out=kp_off[1:],
         )
-        if kp_xy else np.zeros((0, 2), np.float32)
-    )
+        kp_flat = (
+            np.concatenate(
+                [np.asarray(k, np.float32).reshape(-1, 2) for k in kp_xy]
+            )
+            if kp_xy else np.zeros((0, 2), np.float32)
+        )
+    # an out-of-range keypoint id would silently read an adjacent camera's
+    # segment of kp_flat — fail loudly instead
+    kp_counts = np.diff(kp_off)
+    assert (kps_f[keep] >= 0).all() and (
+        kps_f[keep] < kp_counts[cams_f[keep]]
+    ).all(), "observation keypoint id out of range for its camera"
     oxy_arr = kp_flat[kp_off[cams_f[keep]] + kps_f[keep]]
     O = int(oc_arr.shape[0])
     if O == 0:  # all observations reference cameras absent from `poses`
         return poses, points, {"iterations": 0}
     cap = _bucket(max(O, hO), 256)  # observation axis: same x4 bucket scheme
+    n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+    if cap % max(n_data, 1):  # sharded obs axis must divide the mesh
+        cap = ((cap + n_data - 1) // n_data) * n_data
     obs_cam = np.zeros(cap, np.int32)
     obs_pt = np.zeros(cap, np.int32)
     obs_xy = np.zeros((cap, 2), np.float32)
@@ -482,7 +618,9 @@ def bundle_adjust(
     t0[:nC] = np.stack([poses[c][1] for c in cam_ids])
     X0 = np.zeros((P, 3), np.float32)
     X0[:nP] = points
+    t_table = _time.time() - t_prep0
 
+    t_up0 = _time.time()
     data = BAData(
         K=jnp.asarray(K, jnp.float32),
         R0=jnp.asarray(R0),
@@ -501,27 +639,48 @@ def bundle_adjust(
     params = BAParams(xi=jnp.zeros((C, 6)), dX=jnp.zeros((P, 3)))
 
     # robust_w=1 here; padded slots still contribute zero because
-    # _residuals multiplies by data.obs_w internally.
+    # _residuals multiplies by data.obs_w internally. NOT fetched here:
+    # a float() now would block on everything still queued on the device
+    # and misattribute that wait to "prep" — it's pulled with the results.
     r_init = _residuals(params, data, jnp.ones_like(data.obs_w))
-    rms0 = float(jnp.sqrt(jnp.sum(r_init**2) / max(O, 1)))
+    rms0_dev = jnp.sqrt(jnp.sum(r_init**2) / max(O, 1))
+    t_upload = _time.time() - t_up0
     t_prep = _time.time() - t_prep0
 
     # The whole accept/reject LM loop runs on-device as ONE program: with a
     # high-latency device link, 20 host-driven steps cost ~1 s of round
     # trips each; a lax.while_loop costs one dispatch.
     t_solve0 = _time.time()
-    R_f, t_f, X_f, iters_f = _lm_loop(
-        data,
+    lm_args = (
         jnp.asarray(config.init_damping, jnp.float32),
         jnp.asarray(config.robust_delta_px, jnp.float32),
-        max_iters=jnp.asarray(
+        jnp.asarray(
             config.max_iterations if max_iterations is None
             else max_iterations,
             jnp.int32,
         ),
-        cg_iters=config.cg_iterations,
-        motion_only=config.motion_only,
     )
+    if n_data > 1:
+        ps, pe, perm, cs, ce = _shard_obs_indices(
+            n_data, cap, O, obs_cam, pt_start, pt_end, C,
+        )
+        data_host = dict(
+            K=K.astype(np.float32), R0=R0, t0=t0, X0=X0,
+            obs_cam=obs_cam, obs_pt=obs_pt, obs_xy=obs_xy, obs_w=obs_w,
+            pt_start=ps, pt_end=pe,
+            cam_perm=perm, cam_start=cs, cam_end=ce,
+        )
+        R_f, t_f, X_f, iters_f = _lm_loop_mesh(
+            mesh, data_host, *lm_args,
+            cg_iters=config.cg_iterations,
+            motion_only=config.motion_only,
+        )
+    else:
+        R_f, t_f, X_f, iters_f = _lm_loop(
+            data, *lm_args,
+            cg_iters=config.cg_iterations,
+            motion_only=config.motion_only,
+        )
     data = data._replace(R0=R_f, t0=t_f, X0=X_f)
     iters = int(iters_f)
 
@@ -531,9 +690,11 @@ def bundle_adjust(
     new_points = np.asarray(data.X0)[:nP]
     r_fin = _residuals(params, data, jnp.ones_like(data.obs_w))
     rms1 = float(jnp.sqrt(jnp.sum(r_fin**2) / max(O, 1)))
+    rms0 = float(rms0_dev)
     stats = {
         "iterations": iters, "rms_before": rms0, "rms_after": rms1,
         "num_obs": O, "prep_s": round(t_prep, 3),
+        "table_s": round(t_table, 3), "upload_s": round(t_upload, 3),
         "solve_fetch_s": round(_time.time() - t_solve0, 3),
     }
     return new_poses, new_points, stats

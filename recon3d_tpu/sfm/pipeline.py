@@ -1096,6 +1096,7 @@ class SfMPipeline:
                 else self.config.bundle.intermediate_max_iterations
             ),
             kp_table=self._kp_table(),
+            mesh=self.mesh,
         )
         self.poses = {c: (np.asarray(R), np.asarray(t)) for c, (R, t) in new_poses.items()}
         self.points3d = new_points.astype(np.float32)
