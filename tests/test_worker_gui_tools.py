@@ -207,3 +207,88 @@ def test_mesh_shaded_rendering(tmp_path):
     # a solid disk of lit pixels, not sparse vertices
     lit = (img.max(axis=-1) > 40).mean()
     assert lit > 0.15
+
+
+def test_zbuffer_nearest_wins():
+    """The sort-free scatter-min z-buffer keeps the NEAREST point per
+    pixel: two points projecting to the same pixel must show the closer
+    one's color."""
+    # two points stacked along the view ray of the default orbit camera
+    # would need camera math; instead use many coincident xy at two depths
+    rng = np.random.default_rng(1)
+    near = rng.normal(scale=0.2, size=(500, 3)).astype(np.float32)
+    far = near + np.float32([0, 0, 0])  # identical positions...
+    far = far * 3.0  # ...scaled out radially -> farther from orbit camera
+    pts = np.concatenate([far, near])
+    cols = np.concatenate([
+        np.full((500, 3), 255, np.uint8),   # far points white
+        np.zeros((500, 3), np.uint8),       # near points black
+    ])
+    img = render_pointcloud(pts, cols, image_size=(100, 120), point_size=2)
+    # center of frame: near (black) cluster must occlude the far (white) one
+    c = img[40:60, 50:70]
+    assert (c.max(axis=-1) < 100).sum() > (c.min(axis=-1) > 150).sum()
+
+
+def test_interactive_cloud_lod():
+    from recon3d_tpu.gui.viewer import InteractiveCloud, LOD_DRAG_POINTS
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(250_000, 3)).astype(np.float32)
+    cols = rng.integers(0, 255, (250_000, 3), dtype=np.uint8)
+    cloud = InteractiveCloud(pts, cols)
+    full_p, full_c = cloud.for_display(interacting=False)
+    assert len(full_p) == 250_000
+    lod_p, lod_c = cloud.for_display(interacting=True)
+    assert len(lod_p) == LOD_DRAG_POINTS and len(lod_c) == LOD_DRAG_POINTS
+    # LOD subset is precomputed once: identical arrays across drag frames
+    lod_p2, _ = cloud.for_display(interacting=True)
+    assert lod_p2 is lod_p
+    # density slider composes with LOD
+    half_p, _ = cloud.for_display(interacting=True, frac=0.5)
+    assert len(half_p) == LOD_DRAG_POINTS // 2
+    # small clouds skip subsampling entirely
+    small = InteractiveCloud(pts[:1000], cols[:1000])
+    sp, _ = small.for_display(interacting=True)
+    assert sp is small.points
+
+
+def test_mesh_surface_samples_reshade_consistency():
+    """MeshSurfaceSamples.shaded == the one-shot mesh_to_shaded_points for
+    the same seed, and re-shading at a new azimuth reuses the cached
+    geometry (points identical, only colors change)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from tests.test_tsdf_mesh import _sphere_volume
+    from recon3d_tpu.dense.mesh import extract_mesh
+    from recon3d_tpu.gui.viewer import MeshSurfaceSamples, mesh_to_shaded_points
+
+    verts, faces = extract_mesh(_sphere_volume(n=24))
+    vcols = np.full((len(verts), 3), 180, np.uint8)
+    samples = MeshSurfaceSamples(verts, faces, vcols, samples=5000, seed=3)
+    p1, c1 = samples.shaded(30.0, 20.0)
+    p_ref, c_ref = mesh_to_shaded_points(
+        verts, faces, vcols, azimuth_deg=30.0, elevation_deg=20.0,
+        samples=5000, seed=3,
+    )
+    np.testing.assert_array_equal(p1, p_ref)
+    np.testing.assert_array_equal(c1, c_ref)
+    p2, c2 = samples.shaded(120.0, 20.0)
+    assert p2 is p1 or np.shares_memory(p2, p1)
+    assert not np.array_equal(c1, c2)  # headlight moved with the camera
+    # LOD prefix limit
+    p3, c3 = samples.shaded(30.0, 20.0, limit=1000)
+    assert len(p3) == 1000
+    np.testing.assert_array_equal(p3, p1[:1000])
+
+
+@pytest.mark.slow
+def test_drag_render_under_budget():
+    """Interactive orbit at the 1M-point display cap stays under the 50 ms
+    redraw budget via the LOD path (VERDICT r2 item 10)."""
+    from recon3d_tpu.gui.viewer import drag_render_benchmark
+
+    r = drag_render_benchmark(n_points=1_000_000, frames=5)
+    assert r["drag_ms"] < 50.0, f"drag redraw {r['drag_ms']:.1f} ms"
+    # the settle frame draws the full cloud; just sanity-bound it
+    assert r["full_ms"] < 2000.0
