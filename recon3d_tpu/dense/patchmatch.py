@@ -350,14 +350,19 @@ def patchmatch_depth(
         )
         depth0 = jax.image.resize(depth_c, (H, W), method="linear")
         # Full-res polish: upsampled coarse error is local (<= a coarse
-        # cell), so propagation reaches only coarse_factor px and the
-        # refinement schedule continues where the coarse level stopped.
+        # cell), so propagation only needs to reach coarse_factor/2 px
+        # (two step radii, 8 shifts instead of the exploration level's 12)
+        # and half the refinement samples — the schedule continues where
+        # the coarse level stopped, so the dropped samples are the
+        # sub-precision tail (0.5^(4+it) of the range and smaller).
+        # Candidate evaluations at full resolution are the dominant cost;
+        # this cuts the polish round from 22 to 14 of them.
         depth, rays, cost_fn = _run_level(
             ref_gray, src_grays, K, R_ref, t_ref, R_srcs, t_srcs,
             dmin, dmax, k_fine, depth0,
             iters=fine_iterations, it_offset=num_iterations,
-            num_samples=num_samples, patch=patch,
-            steps=(1, max(2, coarse_factor // 2), coarse_factor),
+            num_samples=max(num_samples // 2, 2), patch=patch,
+            steps=(1, max(2, coarse_factor // 2)),
         )
     else:
         depth, rays, cost_fn = _run_level(

@@ -692,7 +692,8 @@ class SfMPipeline:
             return []
         det = self.stats.setdefault(
             "register_detail_s",
-            {"prep": 0.0, "solve_fetch": 0.0, "accept": 0.0, "waves": 0},
+            {"prep": 0.0, "dispatch": 0.0, "solve_fetch": 0.0,
+             "accept": 0.0, "waves": 0, "wave_shapes": []},
         )
         tm = time.time()
         # Batch axis padded to a pow2 bucket: the wave size ramps 1,1,2,3,5...
@@ -716,12 +717,15 @@ class SfMPipeline:
             jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(vp), thr,
             num_hypotheses=cfg.pnp_hypotheses,
         )
+        det["dispatch"] = det.get("dispatch", 0.0) + (time.time() - tm)
+        tm = time.time()
         Rb = np.asarray(res.R)               # (B, T, 3, 3)
         tb = np.asarray(res.t)               # (B, T, 3)
         n_inl_b = np.asarray(res.num_inliers)  # (B, T)
         inl_b = np.asarray(res.inliers)      # (B, T, cap)
         det["solve_fetch"] += time.time() - tm
         det["waves"] += 1
+        det.setdefault("wave_shapes", []).append([int(B), int(cap)])
         tm = time.time()
 
         debug_dir = os.environ.get("RECON3D_DEBUG_REGISTER_DIR")
@@ -1101,14 +1105,19 @@ class SfMPipeline:
         self.poses = {c: (np.asarray(R), np.asarray(t)) for c, (R, t) in new_poses.items()}
         self.points3d = new_points.astype(np.float32)
         det = self.stats.setdefault(
-            "ba_full_detail_s", {"prep": 0.0, "solve_fetch": 0.0, "calls": 0}
+            "ba_full_detail_s",
+            {"prep": 0.0, "table": 0.0, "upload": 0.0,
+             "solve_fetch": 0.0, "calls": 0},
         )
         det["prep"] += stats.get("prep_s", 0.0)
+        det["table"] = det.get("table", 0.0) + stats.get("table_s", 0.0)
+        det["upload"] = det.get("upload", 0.0) + stats.get("upload_s", 0.0)
         det["solve_fetch"] += stats.get("solve_fetch_s", 0.0)
         det["calls"] += 1
         print(f"[sfm] full BA: rms {stats.get('rms_before', 0):.3f} -> "
               f"{stats.get('rms_after', 0):.3f} px over {stats.get('num_obs', 0)} obs "
-              f"({stats.get('iterations', 0)} iters, prep {stats.get('prep_s', 0):.2f}s, "
+              f"({stats.get('iterations', 0)} iters, prep {stats.get('prep_s', 0):.2f}s"
+              f" [table {stats.get('table_s', 0):.2f} upload {stats.get('upload_s', 0):.2f}], "
               f"solve {stats.get('solve_fetch_s', 0):.2f}s)")
 
     def _mean_reproj_error(self) -> float:

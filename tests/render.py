@@ -73,6 +73,19 @@ def default_scene_planes() -> List[Plane]:
     ]
 
 
+def occluded_scene_planes() -> List[Plane]:
+    """The box-corner scene plus two small textured panels floating between
+    the camera arc and the walls. They occlude a different slice of the
+    background from every viewpoint — the occlusion-heavy robustness
+    scenario (matches wide-baseline captures of cluttered scenes, which the
+    reference's per-image PnP cascade must also survive)."""
+    e = np.eye(3)
+    return default_scene_planes() + [
+        Plane(np.array([0.7, 0.1, -0.8]), e[0], e[1], 0.5, 0.4, seed=44),
+        Plane(np.array([-0.9, -0.4, -0.3]), e[0], e[1], 0.4, 0.5, seed=55),
+    ]
+
+
 def render_views(
     n_views: int = 6,
     image_size: Tuple[int, int] = (192, 256),
@@ -80,12 +93,19 @@ def render_views(
     rng_seed: int = 0,
     arc_step: float = 0.12,
     arc_offset: float = 0.0,
+    dist: np.ndarray | None = None,
 ):
     """Render n_views images of the box-corner scene from an arc of cameras.
 
     arc_offset shifts every camera angle (radians): negative thetas view the
     side wall edge-on and yield few SIFT features, so wide arcs should be
     biased positive (the north-star scenario uses offset = sweep/2).
+
+    dist: optional OpenCV-convention distortion coefficients (k1 k2 p1 p2
+    k3). When given, each pixel's ray is cast through the lens model — the
+    rendered images are what a camera with (K, dist) captures, so the
+    undistort-at-load path (io/dataset.py) can be tested end to end against
+    exact ground truth.
 
     Returns dict with images (V, H, W, 3) float32, gray implied, K, Rs, ts,
     depth (V, H, W) ground-truth depth maps (0 where no hit).
@@ -111,8 +131,26 @@ def render_views(
         ts.append(t.astype(np.float32))
 
     ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5, indexing="ij")
+    xn = (xs - K[0, 2]) / K[0, 0]
+    yn = (ys - K[1, 2]) / K[1, 1]
+    if dist is not None and np.any(np.abs(np.asarray(dist)) > 1e-12):
+        # distorted capture: the pixel grid samples DISTORTED normalized
+        # coords; the world ray goes through the undistorted ones (same
+        # model as render_chessboard below)
+        import jax.numpy as jnp
+
+        from recon3d_tpu.ops.image import undistort_points
+
+        und = np.asarray(
+            undistort_points(
+                jnp.asarray(np.stack([xn, yn], -1), jnp.float32),
+                jnp.asarray(dist, jnp.float32),
+                iterations=20,
+            )
+        )
+        xn, yn = und[..., 0], und[..., 1]
     dirs_cam = np.stack(
-        [(xs - K[0, 2]) / K[0, 0], (ys - K[1, 2]) / K[1, 1], np.ones_like(xs)], axis=-1
+        [xn, yn, np.ones_like(xs)], axis=-1
     )  # (H, W, 3)
 
     images = np.zeros((n_views, H, W, 3), np.float32)
@@ -153,6 +191,35 @@ def render_views(
         depth=depths,
         image_size=image_size,
     )
+
+
+def apply_capture_degradations(
+    images: np.ndarray,
+    rng_seed: int = 0,
+    exposure_range: Tuple[float, float] = (0.65, 1.35),
+    vignette_strength: float = 0.35,
+    noise_sigma: float = 0.02,
+) -> np.ndarray:
+    """Per-view photometric degradations of a rendered stack: random
+    exposure gain, cos^4-style radial vignetting, and additive Gaussian
+    sensor noise. Models real capture variation that the matching frontend
+    (NCC windows, SIFT contrast gates) must survive."""
+    rng = np.random.default_rng(rng_seed)
+    V, H, W = images.shape[:3]
+    ys, xs = np.meshgrid(
+        np.linspace(-1, 1, H), np.linspace(-1, 1, W), indexing="ij"
+    )
+    r2 = np.clip(xs * xs + ys * ys, 0, 1.0)
+    out = np.empty_like(images)
+    for v in range(V):
+        gain = rng.uniform(*exposure_range)
+        strength = vignette_strength * rng.uniform(0.5, 1.0)
+        vig = (1.0 - strength * r2)[..., None]
+        noisy = images[v] * gain * vig + rng.normal(
+            scale=noise_sigma, size=images[v].shape
+        )
+        out[v] = np.clip(noisy, 0.0, 1.0)
+    return out.astype(np.float32)
 
 
 def render_chessboard(

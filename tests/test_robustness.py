@@ -1,0 +1,187 @@
+"""Robustness suite (VERDICT r2 #9): occlusion-heavy geometry, per-view
+exposure/vignetting/noise, a distorted-capture e2e through the
+undistort-at-load path, and degraded calibration boards.
+
+The reference handles these regimes implicitly through OpenCV's battle-tested
+frontends (sfm_pipeline.py registration cascade, calibrate.py); here each
+gets an explicit rendered scenario with exact ground truth.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from recon3d_tpu.camera import Camera
+from recon3d_tpu.config import ReconstructionConfig
+from recon3d_tpu.io.dataset import image_set_from_arrays
+from recon3d_tpu.sfm.pipeline import SfMPipeline
+from tests.render import (
+    apply_capture_degradations,
+    occluded_scene_planes,
+    render_views,
+)
+from tests.synthetic import rotation_angle_deg
+
+
+def _tuned_config():
+    cfg = ReconstructionConfig()
+    return cfg.replace(
+        sift=dataclasses.replace(
+            cfg.sift, max_features=1024, contrast_threshold=0.012),
+        match=dataclasses.replace(
+            cfg.match, min_matches=15, ransac_hypotheses=512),
+        sfm=dataclasses.replace(cfg.sfm, pnp_hypotheses=512),
+    )
+
+
+def _median_rel_rot_err(poses, Rs_gt):
+    ids = sorted(poses.keys())
+    errs = []
+    for a, b in zip(ids[:-1], ids[1:]):
+        R_est = np.asarray(poses[b].R) @ np.asarray(poses[a].R).T
+        errs.append(rotation_angle_deg(R_est, Rs_gt[b] @ Rs_gt[a].T))
+    return float(np.median(errs))
+
+
+def _run_pipeline(scene, images=None, dist=None):
+    cam = (
+        Camera.from_matrix(scene["K"]) if dist is None
+        else Camera.from_matrix(scene["K"], dist)
+    )
+    iset = image_set_from_arrays(
+        scene["images"] if images is None else images, cam
+    )
+    pipe = SfMPipeline(config=_tuned_config())
+    points, colors, poses = pipe.reconstruct(image_set=iset)
+    return pipe, points, poses
+
+
+def test_occlusion_heavy_sfm():
+    """Floating panels occlude a different slice of the background from
+    every view: matches carry occlusion-boundary outliers and per-pair
+    covisibility shrinks. All cameras must still register accurately."""
+    n = 8
+    scene = render_views(
+        n_views=n, image_size=(160, 192), arc_step=0.12,
+        planes=occluded_scene_planes(),
+    )
+    pipe, points, poses = _run_pipeline(scene)
+    assert len(poses) >= n - 1, f"registered {len(poses)}/{n}"
+    assert pipe.stats["mean_reproj_px"] < 1.5
+    assert _median_rel_rot_err(poses, scene["Rs"]) < 1.0
+
+
+def test_exposure_vignette_noise_sfm():
+    """Per-view exposure swings (0.65-1.35x), radial vignetting, and sensor
+    noise: the descriptor/matching path must be photometric-invariant
+    enough to register every view."""
+    n = 6
+    scene = render_views(n_views=n, image_size=(160, 192), arc_step=0.14)
+    degraded = apply_capture_degradations(
+        scene["images"], rng_seed=7, noise_sigma=0.02,
+    )
+    # the degradations must actually bite (images visibly differ)
+    assert np.abs(degraded - scene["images"]).mean() > 0.02
+    pipe, points, poses = _run_pipeline(scene, images=degraded)
+    assert len(poses) >= n - 1, f"registered {len(poses)}/{n}"
+    assert pipe.stats["mean_reproj_px"] < 1.8
+    assert _median_rel_rot_err(poses, scene["Rs"]) < 1.5
+
+
+def test_distorted_capture_e2e():
+    """Images rendered through a k1/k2/p1 lens, reconstructed with the
+    matching calibration: exercises the undistort-at-load kernel
+    (io/dataset.py:165, ops/image.py undistort_image) end to end. Gates
+    match the undistorted baseline; a skipped or wrong undistort leaves
+    several-pixel residuals at the frame edges and fails them."""
+    n = 6
+    dist = np.array([0.12, -0.25, 0.004, 0.003, 0.0], np.float32)
+    scene = render_views(
+        n_views=n, image_size=(192, 256), arc_step=0.14, dist=dist,
+    )
+    pipe, points, poses = _run_pipeline(scene, dist=dist)
+    assert len(poses) >= n - 1, f"registered {len(poses)}/{n}"
+    assert pipe.stats["mean_reproj_px"] < 1.5
+    assert _median_rel_rot_err(poses, scene["Rs"]) < 1.0
+
+
+def test_distortion_render_sanity():
+    """The distorted render really is distorted: pixels differ from the
+    pinhole render away from the center, agree near it."""
+    base = render_views(n_views=1, image_size=(192, 256), arc_step=0.0)
+    dist = np.array([0.12, -0.25, 0.004, 0.003, 0.0], np.float32)
+    warped = render_views(
+        n_views=1, image_size=(192, 256), arc_step=0.0, dist=dist,
+    )
+    d = np.abs(base["images"][0] - warped["images"][0]).mean(-1)
+    H, W = d.shape
+    center = d[H // 2 - 20:H // 2 + 20, W // 2 - 20:W // 2 + 20]
+    border = np.concatenate([d[:20].ravel(), d[-20:].ravel()])
+    assert border.mean() > 5 * max(center.mean(), 1e-4)
+
+
+@pytest.mark.slow
+def test_global_sfm_300_views():
+    """300-view arc through the global (averaging) pipeline: rotation/
+    translation averaging and the recovery PnP pass at the scale the
+    global formulation targets (VERDICT r2 #9)."""
+    n = 300
+    scene = render_views(n_views=n, image_size=(96, 128), arc_step=0.004)
+    cam = Camera.from_matrix(scene["K"])
+    iset = image_set_from_arrays(scene["images"], cam)
+    pipe = SfMPipeline(config=ReconstructionConfig.fast())
+    points, colors, poses = pipe.reconstruct_global(image_set=iset)
+    assert len(poses) >= int(0.95 * n), f"registered {len(poses)}/{n}"
+    assert len(points) > 250
+    assert pipe.stats["mean_reproj_px"] < 1.5
+    assert _median_rel_rot_err(poses, scene["Rs"]) < 1.0
+
+
+def test_calibration_on_degraded_boards():
+    """Zhang calibration from boards with noise, vignetting, and strong
+    perspective: intrinsics must still come back within a few percent
+    (VERDICT r2 weak #6 — harder degradations than the clean renders)."""
+    from recon3d_tpu.calib.calibrate import calibrate_camera_robust
+    from tests.render import render_chessboard
+
+    K_gt = np.array(
+        [[260.0, 0, 160.0], [0, 258.0, 120.0], [0, 0, 1]], np.float64
+    )
+    dist_gt = np.array([0.08, -0.15, 0.0, 0.0, 0.0])
+    rng = np.random.default_rng(3)
+    # strong perspective: rotations up to ~40 deg off-axis
+    views = [
+        (np.array([0.15, 0.3, 0.05]), np.array([-4.2, -2.6, 9.0])),
+        (np.array([-0.35, 0.2, 0.1]), np.array([-3.8, -3.0, 8.0])),
+        (np.array([0.3, -0.45, 0.0]), np.array([-4.5, -2.2, 10.0])),
+        (np.array([-0.2, -0.3, 0.2]), np.array([-4.0, -2.8, 9.5])),
+        (np.array([0.55, 0.1, -0.1]), np.array([-4.3, -2.4, 11.0])),
+        (np.array([0.0, 0.55, 0.15]), np.array([-3.6, -2.9, 10.5])),
+        (np.array([-0.45, -0.1, -0.2]), np.array([-4.1, -2.5, 9.8])),
+        (np.array([0.1, -0.2, 0.35]), np.array([-4.4, -2.7, 10.2])),
+    ]
+    imgs = []
+    for rvec, tvec in views:
+        img = render_chessboard(
+            K_gt, dist_gt, rvec, tvec, image_size=(240, 320),
+        )
+        # degrade: vignette + noise (same model as capture degradations)
+        img = apply_capture_degradations(
+            img[None, ..., None].repeat(3, -1),
+            rng_seed=int(rng.integers(1e6)),
+            noise_sigma=0.015,
+        )[0].mean(-1)
+        imgs.append(img)
+    result = calibrate_camera_robust(
+        imgs, pattern=(9, 6), error_threshold=0.75, min_images=6,
+        verbose=False,
+    )
+    assert result is not None, "detection failed on degraded boards"
+    assert len(result["used_indices"]) >= 6
+    K_est = np.asarray(result["K"])
+    assert abs(K_est[0, 0] - K_gt[0, 0]) / K_gt[0, 0] < 0.04
+    assert abs(K_est[1, 1] - K_gt[1, 1]) / K_gt[1, 1] < 0.04
+    assert abs(K_est[0, 2] - K_gt[0, 2]) < 12.0
+    assert abs(K_est[1, 2] - K_gt[1, 2]) < 12.0
+    assert result["overall_rms"] < 1.0
