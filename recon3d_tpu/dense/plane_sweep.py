@@ -78,7 +78,7 @@ def _ncc(ref, src, ok, patch: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_depths", "patch", "min_views")
+    jax.jit, static_argnames=("num_depths", "patch", "min_views", "hierarchical")
 )
 def sweep_depth_map(
     ref_gray: jnp.ndarray,          # (H, W)
@@ -93,10 +93,36 @@ def sweep_depth_map(
     patch: int = 5,
     ncc_threshold: float = 0.8,
     min_views: int = 3,
+    hierarchical: bool = True,
 ):
     """One reference-view plane sweep. Returns (depth (H,W), consistency
-    count (H,W), mean-NCC (H,W)). The (D planes x J sources) work is one
-    scan(vmap(...)) — fully fused on device."""
+    count (H,W), mean-NCC (H,W)).
+
+    hierarchical=True (default) runs the full D-plane sweep at HALF
+    resolution, upsamples the winning inverse depth, and re-scores a
+    handful of per-pixel candidates around it at full resolution — the
+    same algorithmic lever as coarse-to-fine PatchMatch: the exhaustive
+    D x J scoring pays 1/4 the pixels, and the full-res polish costs
+    ~5/D of a full sweep. hierarchical=False is the reference-shaped
+    exhaustive sweep (dense_stereo.py:222-316 semantics) used as the
+    accuracy yardstick in tests/test_plane_sweep.py."""
+    if hierarchical and num_depths >= 16 and min(ref_gray.shape) >= 48:
+        return _sweep_hier(
+            ref_gray, src_grays, K, R_ref, t_ref, R_srcs, t_srcs,
+            depth_range, num_depths, patch, ncc_threshold,
+        )
+    return _sweep_all_planes(
+        ref_gray, src_grays, K, R_ref, t_ref, R_srcs, t_srcs,
+        depth_range, num_depths, patch, ncc_threshold,
+    )
+
+
+def _sweep_all_planes(
+    ref_gray, src_grays, K, R_ref, t_ref, R_srcs, t_srcs, depth_range,
+    num_depths: int, patch: int, ncc_threshold: float,
+):
+    """Exhaustive sweep: every plane scored at the input resolution. The
+    (D planes x J sources) work is one scan(vmap(...)) — fully fused."""
     H, W = ref_gray.shape
     ys, xs = jnp.meshgrid(
         jnp.arange(H, dtype=ref_gray.dtype), jnp.arange(W, dtype=ref_gray.dtype),
@@ -167,6 +193,74 @@ def sweep_depth_map(
     )
     depth = 1.0 / best_inv
     return depth, best_cnt, best_ncc
+
+
+def _sweep_hier(
+    ref_gray, src_grays, K, R_ref, t_ref, R_srcs, t_srcs, depth_range,
+    num_depths: int, patch: int, ncc_threshold: float,
+):
+    """Coarse-to-fine sweep: exhaustive D-plane sweep at half resolution,
+    then full-resolution re-scoring of per-pixel inverse-depth candidates
+    around the upsampled winner (offsets of 0, ±0.5, ±1 plane spacings).
+
+    Cost vs the exhaustive full-res sweep: D/4 + 5 plane-equivalents
+    instead of D (~3x fewer warp+NCC evaluations at D=64). The candidate
+    evaluation reuses PatchMatch's per-pixel warp machinery — a candidate
+    *field* has a different depth per pixel, which a global plane
+    homography cannot express."""
+    from recon3d_tpu.dense.patchmatch import (
+        _ncc_all,
+        _rays_for,
+        _warp_sources,
+    )
+
+    H, W = ref_gray.shape
+    H2, W2 = H // 2, W // 2
+    ref2 = jax.image.resize(ref_gray, (H2, W2), "linear")
+    src2 = jax.vmap(lambda s: jax.image.resize(s, (H2, W2), "linear"))(
+        src_grays
+    )
+    # intrinsics at the half scale under resize's half-pixel convention
+    S = jnp.array(
+        [[0.5, 0.0, -0.25], [0.0, 0.5, -0.25], [0.0, 0.0, 1.0]], K.dtype
+    )
+    d2, _, _ = _sweep_all_planes(
+        ref2, src2, S @ K, R_ref, t_ref, R_srcs, t_srcs, depth_range,
+        num_depths, patch, ncc_threshold,
+    )
+
+    inv_lo = 1.0 / depth_range[1]
+    inv_hi = 1.0 / depth_range[0]
+    step = (inv_hi - inv_lo) / (num_depths - 1)
+    inv_full = jnp.clip(
+        jax.image.resize(1.0 / d2, (H, W), "linear"), inv_lo, inv_hi
+    )
+    offsets = jnp.asarray([0.0, -1.0, -0.5, 0.5, 1.0], ref_gray.dtype) * step
+    cands = jnp.clip(
+        inv_full[None] + offsets[:, None, None], inv_lo, inv_hi
+    )                                                       # (C, H, W)
+
+    rays = _rays_for(K, H, W, ref_gray.dtype)
+
+    def eval_inv(inv_field):
+        warped, ok = _warp_sources(
+            1.0 / inv_field, rays, R_ref, t_ref, R_srcs, t_srcs, K,
+            src_grays, z_floor=depth_range[0] * 0.05,
+        )
+        ncc = _ncc_all(ref_gray, warped, ok, patch)         # (J, H, W)
+        ncc = jnp.where(ok, ncc, -1.0)
+        count = jnp.sum(ncc > ncc_threshold, axis=0)
+        mean_ncc = jnp.mean(jnp.maximum(ncc, 0.0), axis=0)
+        score = count.astype(ref_gray.dtype) + 0.5 * mean_ncc
+        return score, count, mean_ncc
+
+    score_c, count_c, ncc_c = jax.vmap(eval_inv)(cands)     # (C, H, W)
+    ci = jnp.argmax(score_c, axis=0)
+    onehot = ci[None] == jnp.arange(cands.shape[0])[:, None, None]
+    best_inv = jnp.sum(jnp.where(onehot, cands, 0.0), axis=0)
+    best_cnt = jnp.sum(jnp.where(onehot, count_c, 0), axis=0)
+    best_ncc = jnp.sum(jnp.where(onehot, ncc_c, 0.0), axis=0)
+    return 1.0 / best_inv, best_cnt, best_ncc
 
 
 def backproject_depth(

@@ -292,7 +292,32 @@ def _lm_step(
     w_p = jnp.einsum("pab,pb->pa", Cinv, -g_p, precision=_HI)
     b = (-g_c - E_apply(w_p)) * fc6
 
-    M_inv = 1.0 / (diag_c + lam_c)  # Jacobi on the Schur diagonal's B part
+    # Block-Jacobi preconditioner on the EXACT 6x6 diagonal blocks of the
+    # Schur complement (Ceres' SCHUR_JACOBI): each (camera, point) pair
+    # occupies exactly one observation row, so S_cc = sum_o JcᵀJc + lam -
+    # sum_o (JcᵀJp) Cinv (JpᵀJc) assembles per-observation and reduces over
+    # the camera segments. Scalar Jacobi needs O(graph diameter) CG
+    # iterations on chain-shaped capture arcs (measured: a 300-camera arc
+    # made NO accepted LM steps at 24 CG iterations); the exact block
+    # diagonal restores convergence there and cuts the budget elsewhere.
+    E_o = jnp.einsum("oia,oib->oab", Jc, Jp, precision=_HI)       # (O, 6, 3)
+    Cinv_o = jnp.take(Cinv, data.obs_pt, axis=0)                  # (O, 3, 3)
+    ECE_o = jnp.einsum(
+        "oab,obc,odc->oad", E_o, Cinv_o, E_o, precision=_HI
+    )                                                             # (O, 6, 6)
+    B_o = jnp.einsum("oia,oib->oab", Jc, Jc, precision=_HI)
+    S_blk = _reduce_cam(
+        data, (B_o - ECE_o).reshape(-1, 36), axis
+    ).reshape(C, 6, 6)
+    S_blk = S_blk + jax.vmap(jnp.diag)(lam_c)
+    # Gauge-fixed / observation-free cameras: their CG coordinates must stay
+    # exactly zero; an identity block keeps the inverse benign there.
+    live = (free_cam > 0) & (jnp.sum(diag_c, axis=-1) > 0)
+    S_blk = jnp.where(live[:, None, None], S_blk, jnp.eye(6, dtype=S_blk.dtype))
+    M_blk = jnp.linalg.inv(S_blk)                                 # (C, 6, 6)
+
+    def M_apply(r):
+        return jnp.einsum("cab,cb->ca", M_blk, r, precision=_HI) * fc6
 
     def cg_body(carry, _):
         x, r, z, p = carry
@@ -301,12 +326,12 @@ def _lm_step(
         alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-12)
         x = x + alpha * p
         r_new = r - alpha * Ap
-        z_new = M_inv * r_new
+        z_new = M_apply(r_new)
         beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-12)
         p = z_new + beta * p
         return (x, r_new, z_new, p), None
 
-    z0 = M_inv * b
+    z0 = M_apply(b)
     (dc, *_), _ = jax.lax.scan(
         cg_body, (jnp.zeros_like(b), b, z0, z0), None, length=cg_iters
     )

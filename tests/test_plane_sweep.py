@@ -53,6 +53,35 @@ def test_sweep_depth_accuracy(scene):
     assert (rel_err < 0.1).mean() > 0.8
 
 
+def test_hier_matches_exhaustive(scene):
+    """The default coarse-to-fine sweep must match the exhaustive full-res
+    sweep's accuracy at confident pixels (it runs ~3x fewer warp+NCC
+    evaluations; agreement is checked against GT, not bitwise — the two
+    paths quantize depth differently by construction)."""
+    images = scene["images"]
+    gray = images.mean(-1)
+    ref, srcs = 2, [0, 1, 3, 4]
+    gt = scene["depth"][ref]
+    dmin, dmax = float(gt[gt > 0].min() * 0.7), float(gt[gt > 0].max() * 1.4)
+    args = (
+        jnp.asarray(gray[ref]), jnp.asarray(gray[srcs]),
+        jnp.asarray(scene["K"]),
+        jnp.asarray(scene["Rs"][ref]), jnp.asarray(scene["ts"][ref]),
+        jnp.asarray(scene["Rs"][srcs]), jnp.asarray(scene["ts"][srcs]),
+        jnp.asarray([dmin, dmax], jnp.float32),
+    )
+    kw = dict(num_depths=96, patch=5, ncc_threshold=0.7, min_views=3)
+    d_h, c_h, _ = sweep_depth_map(*args, hierarchical=True, **kw)
+    d_e, c_e, _ = sweep_depth_map(*args, hierarchical=False, **kw)
+    for depth, cnt in ((d_h, c_h), (d_e, c_e)):
+        conf = (np.asarray(cnt) >= 3) & (gt > 0)
+        rel = np.abs(np.asarray(depth)[conf] - gt[conf]) / gt[conf]
+        assert np.median(rel) < 0.05
+    # confident-coverage parity: hier must keep >= 90% of exhaustive's
+    # confident-pixel count
+    assert (np.asarray(c_h) >= 3).mean() >= 0.9 * (np.asarray(c_e) >= 3).mean()
+
+
 def test_backproject_roundtrip(scene):
     gt = scene["depth"][0]
     K = jnp.asarray(scene["K"])
