@@ -123,13 +123,21 @@ def _spanning_tree_init(ei, ej, R_rel, w, V) -> np.ndarray:
     return R, seen
 
 
-def rotation_averaging(ei, ej, R_rel, w, V, iters: int = 64):
+def rotation_averaging(ei, ej, R_rel, w, V, iters: int | None = None):
     """Robust chordal averaging: R_i <- proj_SO3(weighted sum of neighbor
     predictions), with per-iteration Cauchy reweighting from the edge
     residuals ||R_rel R_i - R_j||_F — two-view geometry on low-texture /
     low-parallax pairs produces multi-degree outlier edges that plain L2
     would average in (measured: 7.6 deg edges -> 3.9 deg camera error;
-    robust: < 1 deg). One jitted lax.scan. Returns (R (V,3,3), seen)."""
+    robust: < 1 deg). One jitted lax.scan. Returns (R (V,3,3), seen).
+
+    iters defaults to max(64, V): BCD information flows one graph hop per
+    iteration, so a 300-view arc needs ~V rounds to equilibrate (measured:
+    64 iters left 0.7 deg of recoverable global bend vs 256). Each round
+    is one segment_sum over the edge list — cheap at any V this solver
+    targets."""
+    if iters is None:
+        iters = max(64, V)
     R0, seen = _spanning_tree_init(ei, ej, R_rel, w, V)
     ei_j = jnp.asarray(ei, jnp.int32)
     ej_j = jnp.asarray(ej, jnp.int32)
@@ -234,13 +242,22 @@ def translation_averaging(ei, ej, t_rel, R, w, V) -> np.ndarray:
 
 
 def build_tracks(pipeline, max_tracks: int):
-    """Union-find over matched keypoints -> tracks [(cam, kp), ...].
-    Components with two keypoints in one image are ambiguous and dropped
-    (COLMAP's policy)."""
+    """Constrained union-find over matched keypoints -> tracks
+    [(cam, kp), ...].
+
+    A match only merges two tracks when their image sets are DISJOINT;
+    conflicting merges are skipped. Plain union-find followed by
+    drop-if-ambiguous (COLMAP's mapper policy on its raw form) lets one
+    bad geometric-survivor correspondence glue two long tracks into a
+    component with duplicate images that must then be discarded wholesale
+    — measured on a 300-view arc: 60 glued components swallowed 10,175 of
+    ~16k matched keypoints, leaving 281 usable tracks out of thousands.
+    Constrained merging keeps every clean prefix instead."""
     counts = [len(k) for k in pipeline.kp_xy]
     base = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     total = int(base[-1])
     parent = np.arange(total, dtype=np.int64)
+    imgset: dict = {}  # root -> set of image ids (created lazily on merge)
 
     def find(a):
         root = a
@@ -253,10 +270,25 @@ def build_tracks(pipeline, max_tracks: int):
     for (i, j), m in pipeline.matches.items():
         na = base[i] + np.asarray(m["idx1"], np.int64)
         nb = base[j] + np.asarray(m["idx2"], np.int64)
-        for a, b in zip(na, nb):
+        for a, b in zip(na.tolist(), nb.tolist()):
             ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[rb] = ra
+            if ra == rb:
+                continue
+            sa = imgset.get(ra)
+            sb = imgset.get(rb)
+            if sa is None:
+                sa = {i}  # singleton root: node a is one of image i's kps
+            if sb is None:
+                sb = {j}
+            if sa & sb:
+                continue  # conflict: would put two keypoints in one image
+            # union by size (set size == component size for matched kps)
+            if len(sa) < len(sb):
+                ra, rb, sa, sb = rb, ra, sb, sa
+            parent[rb] = ra
+            sa |= sb
+            imgset[ra] = sa
+            imgset.pop(rb, None)
 
     roots = np.array([find(a) for a in range(total)])
     order = np.argsort(roots, kind="stable")
@@ -270,8 +302,8 @@ def build_tracks(pipeline, max_tracks: int):
         if e - s < 2:
             continue
         cams = img_of[s:e]
-        if len(np.unique(cams)) != e - s:
-            continue  # ambiguous: two kps of one image in the track
+        if len(np.unique(cams)) != e - s:  # unreachable under the invariant
+            continue
         tracks.append(list(zip(cams.tolist(), kp_of[s:e].tolist())))
         if len(tracks) >= max_tracks:
             break

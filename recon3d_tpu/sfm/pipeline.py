@@ -391,9 +391,17 @@ class SfMPipeline:
                 for j in range(n - w, n):
                     if i < j:
                         pairs.add((i, j))
-            for stride in (2 * w, 4 * w):
+            # Stride probes DOUBLE until they span the sequence: large
+            # scenes need mid-range anchor edges, not just 2w/4w. On a
+            # 300-view arc the 4w=32 probes left only 17 long edges; the
+            # rotation-averaging init bent ~10 deg (a bent local minimum
+            # even full BA cannot escape), while spans up to n/2 anchor the
+            # global shape for ~20 extra pairs (docs/global_sfm.md).
+            stride = 2 * w
+            while stride < n:
                 for i in range(0, n - stride, max(1, stride // 2)):
                     pairs.add((i, i + stride))
+                stride *= 2
         return sorted(pairs)
 
     def match_image_pairs(self):
