@@ -241,10 +241,17 @@ def train_lightglue(
     gt_radius_px: float = 3.0,
     detection_threshold: float = 2e-5,
     texture_frac: float = 0.0,
+    view_pair_frac: float = 0.0,
     superpoint_weights: str | None = None,
 ):
     """Train LightGlue on synthetic homography pairs with features from the
     frozen bundled SuperPoint.
+
+    view_pair_frac of the pairs are TRUE 3D renders (synthetic.render_view_pair:
+    two cameras, parallax, occlusion) with depth-projected ground truth —
+    the domain the matcher faces in SfM, where homography-only training
+    measurably under-recalls (46 vs 79 correct matches,
+    docs/neural_quality.md round 2).
 
     Per round: render pair images on the host, batch-extract SuperPoint
     features in one device dispatch (features stay device-resident; only
@@ -317,8 +324,17 @@ def train_lightglue(
         while done < steps:
             # -- host: render pair images for the whole round
             n_pairs = batches_per_round * batch
-            imgs_a, imgs_b, Hs = [], [], []
+            imgs_a, imgs_b, geos = [], [], []
             for _ in range(n_pairs):
+                if rng.uniform() < view_pair_frac:
+                    # true 3D pair: parallax + occlusion, GT via depth
+                    from recon3d_tpu.neural.synthetic import render_view_pair
+
+                    sc = render_view_pair(rng, hw)
+                    imgs_a.append(_photometric_jitter(sc["img_a"], rng))
+                    imgs_b.append(_photometric_jitter(sc["img_b"], rng))
+                    geos.append(("view", sc))
+                    continue
                 # texture_frac of the pairs are value-noise textures — no
                 # corner labels needed here (GT assignments come from the
                 # homography over *detected* keypoints), so the matcher
@@ -338,7 +354,7 @@ def train_lightglue(
                 # collapses on real renders (measured: 46 correct matches
                 # vs its own NN fallback's 79, docs/neural_quality.md).
                 imgs_b.append(_photometric_jitter(warp_image(im, Hm), rng))
-                Hs.append(Hm)
+                geos.append(("homo", Hm))
             stackab = np.stack(imgs_a + imgs_b)  # (2P, H, W)
             # -- device: one batched SuperPoint extraction
             feats = extract_batch(jnp.asarray(stackab))
@@ -362,7 +378,19 @@ def train_lightglue(
             for p in range(n_pairs):
                 xa, xb = xy[p], xy[n_pairs + p]
                 va, vb = valid[p], valid[n_pairs + p]
-                proj = warp_points(Hs[p], xa)
+                kind, geo = geos[p]
+                if kind == "view":
+                    from recon3d_tpu.neural.synthetic import (
+                        project_view_points,
+                    )
+
+                    proj, covis = project_view_points(
+                        xa, geo["depth_a"], geo["depth_b"], geo["K"],
+                        geo["Ra"], geo["ta"], geo["Rb"], geo["tb"],
+                    )
+                    va = va & covis  # occluded/out-of-view: no GT match
+                else:
+                    proj = warp_points(geo, xa)
                 d = np.hypot(
                     proj[:, None, 0] - xb[None, :, 0],
                     proj[:, None, 1] - xb[None, :, 1],
@@ -426,6 +454,9 @@ def main(argv=None):
     p.add_argument("--texture-frac", type=float, default=0.5,
                    help="fraction of adaptation batches (superpoint) / "
                    "training pairs (lightglue) drawn from textures")
+    p.add_argument("--view-pair-frac", type=float, default=0.0,
+                   help="fraction of lightglue training pairs rendered as "
+                   "true 3D view pairs (parallax + occlusion, depth GT)")
     p.add_argument("--superpoint", default=None,
                    help="frozen SuperPoint checkpoint for lightglue "
                    "training (default: the bundled one)")
@@ -448,6 +479,7 @@ def main(argv=None):
             batches_per_round=a.batches_per_round,
             epochs_per_round=a.epochs_per_round,
             texture_frac=a.texture_frac,
+            view_pair_frac=a.view_pair_frac,
             superpoint_weights=a.superpoint,
         )
     else:

@@ -332,6 +332,187 @@ def cell_correspondence(
 
 
 # ---------------------------------------------------------------------------
+# true 3D view pairs (parallax + occlusion, beyond what a homography shows)
+# ---------------------------------------------------------------------------
+
+def _surface_noise(u: np.ndarray, v: np.ndarray, seed: int,
+                   octaves: int = 5) -> np.ndarray:
+    """Multi-octave value noise as a function of SURFACE coordinates
+    (u, v) in [-1, 1] — consistent across viewpoints, so two renders of
+    the same plane photograph the same texture."""
+    rng = np.random.default_rng(seed)
+    out = np.zeros_like(u)
+    amp = 1.0
+    for octv in range(octaves):
+        res = 4 * 2 ** octv
+        grid = rng.random((res + 2, res + 2))
+        gu = np.clip((u + 1.0) * 0.5 * res, 0, res - 1e-6)
+        gv = np.clip((v + 1.0) * 0.5 * res, 0, res - 1e-6)
+        u0 = np.floor(gu).astype(int)
+        v0 = np.floor(gv).astype(int)
+        fu = gu - u0
+        fv = gv - v0
+        fu = fu * fu * (3 - 2 * fu)
+        fv = fv * fv * (3 - 2 * fv)
+        out += amp * (
+            grid[v0, u0] * (1 - fu) * (1 - fv)
+            + grid[v0, u0 + 1] * fu * (1 - fv)
+            + grid[v0 + 1, u0] * (1 - fu) * fv
+            + grid[v0 + 1, u0 + 1] * fu * fv
+        )
+        amp *= 0.55
+    out -= out.min()
+    return out / (out.max() + 1e-9)
+
+
+def render_view_pair(
+    rng: np.random.Generator, hw: Tuple[int, int] = (128, 128),
+):
+    """Render ONE random textured multi-plane scene from TWO cameras with
+    true parallax and occlusion — the appearance/geometry change an SfM
+    matcher actually faces, which a homography warp of a single image can
+    never produce (no depth discontinuities, no view-dependent occlusion).
+
+    Scene: a fronto-leaning backdrop plane + a ground plane + 1-2 floating
+    occluder panels at intermediate depth, each textured with value noise
+    over its surface coords. Camera A looks +z from the origin; camera B is
+    displaced by a random baseline and re-aimed at the scene center.
+
+    Returns dict: img_a, img_b (H, W) float32; depth_a, depth_b (H, W)
+    float32 (0 = no hit); K (3, 3); Ra, ta, Rb, tb (world->cam).
+    """
+    H, W = hw
+    f = 0.9 * W
+    K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]], np.float32)
+
+    # planes: (origin, u_axis, v_axis, half_u, half_v, seed)
+    planes = []
+    seed0 = int(rng.integers(1 << 30))
+
+    def _unit(a):
+        return a / (np.linalg.norm(a) + 1e-12)
+
+    # backdrop ~4 away, tilted up to ~35 deg
+    n = _unit(np.array([rng.uniform(-0.6, 0.6), rng.uniform(-0.6, 0.6), -1.0]))
+    u = _unit(np.cross(np.array([0.0, 1.0, 0.0]), n))
+    v = np.cross(n, u)
+    planes.append((np.array([0.0, 0.0, rng.uniform(3.2, 4.5)]),
+                   u, v, 4.0, 4.0, seed0))
+    # ground plane below, visible in the lower image half
+    planes.append((np.array([0.0, rng.uniform(0.9, 1.4), 2.5]),
+                   np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]),
+                   4.0, 4.0, seed0 + 1))
+    # floating occluders at intermediate depth
+    for k in range(int(rng.integers(1, 3))):
+        n = _unit(np.array(
+            [rng.uniform(-0.5, 0.5), rng.uniform(-0.5, 0.5), -1.0]
+        ))
+        u = _unit(np.cross(np.array([0.0, 1.0, 0.0]), n))
+        v = np.cross(n, u)
+        planes.append((
+            np.array([rng.uniform(-0.9, 0.9), rng.uniform(-0.7, 0.7),
+                      rng.uniform(1.6, 2.6)]),
+            u, v, rng.uniform(0.25, 0.6), rng.uniform(0.25, 0.6),
+            seed0 + 2 + k,
+        ))
+
+    target = np.array([0.0, 0.0, 2.8])
+
+    def _look_at(C):
+        z = _unit(target - C)
+        x = _unit(np.cross(np.array([0.0, -1.0, 0.0]), z))
+        y = np.cross(z, x)
+        R = np.stack([x, y, z], 0)
+        return R.astype(np.float32), (-R @ C).astype(np.float32)
+
+    Ra, ta = _look_at(np.zeros(3))
+    # baseline up to ~0.9 with a little depth/height variation: median
+    # triangulation parallax 5-20 deg, like adjacent SfM views
+    Cb = np.array([
+        rng.uniform(-0.9, 0.9), rng.uniform(-0.25, 0.25),
+        rng.uniform(-0.3, 0.3),
+    ])
+    Rb, tb = _look_at(Cb)
+
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
+                         indexing="ij")
+    dirs_cam = np.stack(
+        [(xs - K[0, 2]) / K[0, 0], (ys - K[1, 2]) / K[1, 1],
+         np.ones_like(xs)], -1,
+    )
+
+    out = {}
+    for tag, (R, t) in (("a", (Ra, ta)), ("b", (Rb, tb))):
+        C = -R.T @ t
+        dirs = dirs_cam @ R
+        best_t = np.full((H, W), np.inf)
+        shade = np.zeros((H, W))
+        for (o, pu, pv, hu, hv, seed) in planes:
+            pn = np.cross(pu, pv)
+            denom = dirs @ pn
+            tt = ((o - C) @ pn) / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+            pt = C + tt[..., None] * dirs
+            lu = (pt - o) @ pu
+            lv = (pt - o) @ pv
+            closer = (
+                (tt > 0.1) & (np.abs(lu) <= hu) & (np.abs(lv) <= hv)
+                & (tt < best_t)
+            )
+            if not closer.any():
+                continue
+            tex = _surface_noise(
+                np.where(closer, lu / hu, 0.0),
+                np.where(closer, lv / hv, 0.0), seed,
+            )
+            shade = np.where(closer, 0.12 + 0.82 * tex, shade)
+            best_t = np.where(closer, tt, best_t)
+        out[f"img_{tag}"] = shade.astype(np.float32)
+        out[f"depth_{tag}"] = np.where(
+            np.isfinite(best_t), best_t, 0.0
+        ).astype(np.float32)
+    out.update(K=K, Ra=Ra, ta=ta, Rb=Rb, tb=tb)
+    return out
+
+
+def project_view_points(xy: np.ndarray, depth_a: np.ndarray,
+                        depth_b: np.ndarray, K, Ra, ta, Rb, tb,
+                        occl_tol: float = 0.03):
+    """Project view-A pixels into view B via A's GT depth.
+
+    Returns (uv_b (N, 2) float32, covisible (N,) bool) — covisible means
+    the point has depth in A, lands in B's bounds with positive depth, and
+    is not occluded there (|depth_b - z| < occl_tol * depth_b)."""
+    if len(xy) == 0:
+        return np.zeros((0, 2), np.float32), np.zeros(0, bool)
+    Hb, Wb = depth_b.shape
+    xi = np.clip(np.round(xy[:, 0]).astype(int), 0, depth_a.shape[1] - 1)
+    yi = np.clip(np.round(xy[:, 1]).astype(int), 0, depth_a.shape[0] - 1)
+    d = depth_a[yi, xi]
+    has = d > 0
+    rays = np.stack(
+        [(xy[:, 0] - K[0, 2]) / K[0, 0], (xy[:, 1] - K[1, 2]) / K[1, 1],
+         np.ones(len(xy))], -1,
+    )
+    Xw = (rays * d[:, None] - ta) @ Ra  # R^T (Xc - t)
+    Xb = Xw @ Rb.T + tb
+    z = Xb[:, 2]
+    uv = np.stack(
+        [K[0, 0] * Xb[:, 0] / np.maximum(z, 1e-9) + K[0, 2],
+         K[1, 1] * Xb[:, 1] / np.maximum(z, 1e-9) + K[1, 2]], -1,
+    ).astype(np.float32)
+    inb = (
+        has & (z > 1e-6)
+        & (uv[:, 0] >= 0) & (uv[:, 0] <= Wb - 1)
+        & (uv[:, 1] >= 0) & (uv[:, 1] <= Hb - 1)
+    )
+    xb = np.clip(np.round(uv[:, 0]).astype(int), 0, Wb - 1)
+    yb = np.clip(np.round(uv[:, 1]).astype(int), 0, Hb - 1)
+    db = depth_b[yb, xb]
+    vis = inb & (db > 0) & (np.abs(db - z) < occl_tol * np.maximum(db, 1e-6))
+    return uv, vis
+
+
+# ---------------------------------------------------------------------------
 # batches
 # ---------------------------------------------------------------------------
 

@@ -219,6 +219,11 @@ def main(argv=None):
     ap.add_argument("--skip", nargs="*", default=[],
                     choices=["sift", "match", "sweep", "patchmatch",
                              "bundle", "tsdf"])
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="run each selected stage N times in-process "
+                         "(stability check: the host-transient caveat in "
+                         "BASELINE.md predicts >20%% spread for host-heavy "
+                         "stages; the round-3 fix targets <=20%%)")
     args = ap.parse_args(argv)
     if args.platform:
         import jax
@@ -237,9 +242,20 @@ def main(argv=None):
     for name, fn in benches:
         if name in args.skip:
             continue
-        row = fn(quick=args.quick)
+        vals = []
+        for rep in range(max(1, args.repeat)):
+            row = fn(quick=args.quick)
+            vals.append(row["value"])
+            print(json.dumps(row))
+        if len(vals) > 1:
+            lo, hi = min(vals), max(vals)
+            spread = (hi - lo) / max(abs(hi), 1e-9)
+            print(json.dumps({
+                "metric": f"{row['metric']}_stability",
+                "runs": vals, "spread_pct": round(100 * spread, 1),
+                "within_20pct": bool(spread <= 0.20),
+            }))
         rows.append(row)
-        print(json.dumps(row))
 
     if args.md:
         import jax

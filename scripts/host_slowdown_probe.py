@@ -63,11 +63,71 @@ def workload() -> float:
     return time.perf_counter() - t0
 
 
+def fetch_probe():
+    """Phase 2 hypothesis: the slowdown appears only while LARGE
+    device->host downloads are in flight — the stdio tunnel relay is a
+    separate process doing CPU-heavy framing on the same single vCPU, so
+    numpy is descheduled for most of each fetch.  Time the workload (a)
+    between large fetches, (b) with an async fetch in flight, and report
+    the relay's CPU share from /proc/stat deltas."""
+    import jax
+    import jax.numpy as jnp
+
+    big = jnp.asarray(np.random.default_rng(2).random((32, 1024, 1024),
+                                                      np.float32))  # 128 MB
+    big = (big * 1.000001).block_until_ready()  # materialize on device
+
+    base = [workload() for _ in range(8)]
+    print(f"[fetch] baseline: med {np.median(base)*1e3:.1f} ms", flush=True)
+
+    # (a) sequential: big fetch, then immediately time numpy
+    for rep in range(3):
+        t0 = time.perf_counter()
+        np.asarray(big[rep % 32])  # 4 MB download
+        t_fetch = time.perf_counter() - t0
+        times = [workload() for _ in range(4)]
+        print(f"[fetch] after 4MB fetch ({t_fetch:.2f}s): "
+              f"workload med {np.median(times)*1e3:.1f} ms", flush=True)
+
+    # (b) concurrent: start an async fetch of the full 128 MB, time numpy
+    # while the relay drains it
+    prev_sys, prev_idle = system_cpu()
+    prev_me = sum(c for _, c in thread_cpu().values())
+    fut = jax.device_get(big)  # device_get is sync; use copy_to_host_async
+    del fut
+    arrs = [big[i] for i in range(32)]
+    for a in arrs:
+        a.copy_to_host_async()
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 30.0:
+        w = workload()
+        cur_sys, cur_idle = system_cpu()
+        me = sum(c for _, c in thread_cpu().values())
+        dt = max(cur_sys - prev_sys, 1e-9)
+        print(f"[fetch] t={time.perf_counter()-t0:5.1f}s in-flight "
+              f"workload {w*1e3:7.1f} ms  sys_busy {100*(1-(cur_idle-prev_idle)/dt):5.1f}%  "
+              f"me {100*(me-prev_me)/dt:5.1f}%", flush=True)
+        prev_sys, prev_idle, prev_me = cur_sys, cur_idle, me
+        n += 1
+        if n == 3:  # force the drain to actually complete mid-window
+            t1 = time.perf_counter()
+            _ = [np.asarray(a) for a in arrs]
+            print(f"[fetch] 128MB drain completed in "
+                  f"{time.perf_counter()-t1:.1f}s", flush=True)
+    tail = [workload() for _ in range(5)]
+    print(f"[fetch] final: med {np.median(tail)*1e3:.1f} ms", flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     print("devices:", jax.devices(), flush=True)
+
+    if "--fetch" in sys.argv:
+        fetch_probe()
+        return
 
     base = [workload() for _ in range(10)]
     print(f"baseline workload: med {np.median(base)*1e3:.1f} ms "
