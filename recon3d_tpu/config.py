@@ -29,6 +29,12 @@ class SiftConfig:
     clahe_grid: int = 8
     patch_size: int = 16              # descriptor sampling patch (4x4 cells)
     descriptor_max_value: float = 0.2
+    # Emit extra keypoints at secondary orientation peaks >= 0.8x the
+    # dominant one, like OpenCV (reference features.py:52). Off by default:
+    # +~25% descriptor cost, only pays on rotation-rich (high-roll) captures
+    # — the arc captures this pipeline targets gain nothing (measured,
+    # tests/test_sift.py::test_multi_orientation_rolled_pair).
+    multi_orientation: bool = False
 
 
 @dataclass(frozen=True)

@@ -55,6 +55,7 @@ class FeatureExtractor:
                     contrast_threshold=cfg.contrast_threshold,
                     edge_threshold=cfg.edge_threshold,
                     descriptor_max_value=cfg.descriptor_max_value,
+                    multi_orientation=cfg.multi_orientation,
                 )
 
             self._jitted[shape] = jax.jit(fn)

@@ -379,8 +379,34 @@ def _spatial_assignment(n: int, d: int) -> np.ndarray:
     return np.einsum("ya,xb->yxab", w, w).astype(np.float32)
 
 
-def _orientation(mag: jnp.ndarray, ori: jnp.ndarray) -> jnp.ndarray:
-    """Dominant gradient orientation per keypoint from (K, n, n) grads."""
+def _interp_peak_angle(hist: jnp.ndarray, peak: jnp.ndarray,
+                       dtype) -> jnp.ndarray:
+    """Parabolic-interpolated angle (radians) of histogram bin `peak`.
+
+    One-hot sums instead of take_along_axis: XLA lowers the latter to a
+    gather (~20 M elem/s on this TPU); 36-wide masked reductions are VPU.
+    """
+    cols = jnp.arange(N_ORI_BINS)
+    hp = jnp.sum(jnp.where(cols == peak[:, None], hist, 0.0), axis=-1)
+    hl = jnp.sum(jnp.where(cols == ((peak - 1) % N_ORI_BINS)[:, None],
+                           hist, 0.0), axis=-1)
+    hr = jnp.sum(jnp.where(cols == ((peak + 1) % N_ORI_BINS)[:, None],
+                           hist, 0.0), axis=-1)
+    denom = hl - 2 * hp + hr
+    interp = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0)
+    bin_f = peak.astype(dtype) + jnp.clip(interp, -0.5, 0.5)
+    return bin_f / N_ORI_BINS * 2 * jnp.pi - jnp.pi
+
+
+def _orientation(mag: jnp.ndarray, ori: jnp.ndarray):
+    """Gradient orientations per keypoint from (K, n, n) grads.
+
+    Returns (angle (K,), angle2 (K,), has2 (K,) bool): the dominant
+    orientation plus the strongest SECONDARY local peak >= 0.8x the
+    dominant one — OpenCV emits an extra keypoint at such peaks
+    (reference features.py:52 relies on that behavior for rotation-rich
+    captures); callers opt in via extract_sift(multi_orientation=True).
+    """
     K, n, _ = mag.shape
     w = jnp.asarray(_gauss_window(n, 2.0 / 3.0))
     wm = mag * w[None]
@@ -404,18 +430,23 @@ def _orientation(mag: jnp.ndarray, ori: jnp.ndarray) -> jnp.ndarray:
         ) / 16.0
 
     peak = jnp.argmax(hist, axis=-1)
-    # One-hot sums instead of take_along_axis: XLA lowers the latter to a
-    # gather (~20 M elem/s on this TPU); 36-wide masked reductions are VPU.
-    cols = jnp.arange(N_ORI_BINS)
+    angle = _interp_peak_angle(hist, peak, mag.dtype)
+
+    # Secondary peak: strongest circular local max that is not the primary
+    # bin and clears OpenCV's 0.8 * primary threshold.
     hp = jnp.max(hist, axis=-1)
-    hl = jnp.sum(jnp.where(cols == ((peak - 1) % N_ORI_BINS)[:, None],
-                           hist, 0.0), axis=-1)
-    hr = jnp.sum(jnp.where(cols == ((peak + 1) % N_ORI_BINS)[:, None],
-                           hist, 0.0), axis=-1)
-    denom = hl - 2 * hp + hr
-    interp = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0)
-    bin_f = peak.astype(mag.dtype) + jnp.clip(interp, -0.5, 0.5)
-    return bin_f / N_ORI_BINS * 2 * jnp.pi - jnp.pi
+    left = jnp.roll(hist, 1, -1)
+    right = jnp.roll(hist, -1, -1)
+    cols = jnp.arange(N_ORI_BINS)
+    is_local_max = (hist > left) & (hist >= right)
+    eligible = is_local_max & (cols[None] != peak[:, None]) & (
+        hist >= 0.8 * hp[:, None]
+    )
+    sec_val = jnp.where(eligible, hist, -jnp.inf)
+    peak2 = jnp.argmax(sec_val, axis=-1)
+    has2 = jnp.isfinite(jnp.max(sec_val, axis=-1))
+    angle2 = _interp_peak_angle(hist, peak2, mag.dtype)
+    return angle, angle2, has2
 
 
 def _descriptor(mag: jnp.ndarray, ori: jnp.ndarray, max_value: float) -> jnp.ndarray:
@@ -466,12 +497,20 @@ def extract_sift(
     edge_threshold: float = 15.0,
     upsample: bool = False,
     descriptor_max_value: float = 0.2,
+    multi_orientation: bool = False,
 ) -> SiftFeatures:
     """Detect + describe SIFT features of a grayscale image (H, W) in [0,1].
 
     Returns a SiftFeatures with capacity = sum of per-octave caps
     (>= max_features), sorted by validity then response. Jit-compatible for
     a fixed image shape.
+
+    multi_orientation: emit an EXTRA keypoint at each secondary orientation
+    peak >= 0.8x the dominant one, as OpenCV does (reference features.py:52)
+    — improves repeatability on rotation-rich captures at ~25% extra
+    descriptor cost (secondary slots are capped at 1/4 of each octave's
+    capacity, strongest responses first; typically ~15% of keypoints carry
+    a qualifying secondary peak).
     """
     if upsample:
         img = resize(img, (img.shape[0] * 2, img.shape[1] * 2))
@@ -498,7 +537,7 @@ def extract_sift(
             jnp.zeros_like(det["x_oct"]), ORI_PATCH, interp="nearest",
         )
         mag, ori = _patch_gradients(patch, ok)
-        angle = _orientation(mag, ori)
+        angle, angle2, has2 = _orientation(mag, ori)
 
         # Descriptor from a patch rotated by the dominant orientation.
         rad_desc = LAMBDA_DESC * det["sigma_oct"] * (DESC_GRID + 1) * 0.5 * math.sqrt(2.0)
@@ -519,6 +558,31 @@ def extract_sift(
                 valid=det["valid"],
             )
         )
+
+        if multi_orientation:
+            # Secondary-orientation keypoints: static 1/4-capacity slots,
+            # filled by the strongest-response candidates with a qualifying
+            # second peak; the rest of the slots carry valid=False.
+            k2 = max(32, caps[o] // 4)
+            sec_ok = det["valid"] & has2
+            sec_score = jnp.where(sec_ok, det["response"], -jnp.inf)
+            idx2 = jnp.argsort(-sec_score)[:k2]
+            dpatch2, dok2 = _sample_patches(
+                gauss, lvl[idx2], det["x_oct"][idx2], det["y_oct"][idx2],
+                rad_desc[idx2], angle2[idx2], PATCH, interp="nearest",
+            )
+            dmag2, dori2 = _patch_gradients(dpatch2, dok2)
+            desc2 = _descriptor(dmag2, dori2, descriptor_max_value)
+            parts.append(
+                SiftFeatures(
+                    xy=det["xy_full"][idx2],
+                    scale=det["sigma_full"][idx2],
+                    angle=angle2[idx2],
+                    response=det["response"][idx2],
+                    desc=desc2,
+                    valid=sec_ok[idx2],
+                )
+            )
 
     feats = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 

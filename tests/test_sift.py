@@ -111,6 +111,59 @@ def test_descriptor_matching_under_rotation():
     assert (err < 3.0).mean() > 0.7  # most matches geometrically correct
 
 
+def test_multi_orientation_secondary_keypoints():
+    """multi_orientation=True emits extra keypoints at secondary peaks:
+    same location as a primary keypoint, angle from a different histogram
+    bin (OpenCV behavior, reference features.py:52)."""
+    from scipy.spatial import cKDTree
+
+    img = _texture(2)
+    f0 = extract_sift(jnp.asarray(img), max_features=MAXF)
+    f1 = extract_sift(jnp.asarray(img), max_features=MAXF,
+                      multi_orientation=True)
+    assert len(np.asarray(f1.valid)) > len(np.asarray(f0.valid))
+    n0 = int(np.asarray(f0.valid).sum())
+    n1 = int(np.asarray(f1.valid).sum())
+    assert n1 > n0  # some secondary peaks must fire on noise texture
+
+    # every extra keypoint coincides with a primary one but differs in angle
+    v1 = np.asarray(f1.valid)
+    xy1 = np.asarray(f1.xy)[v1]
+    ang1 = np.asarray(f1.angle)[v1]
+    tree = cKDTree(xy1)
+    dup_pairs = tree.query_pairs(1e-3, output_type="ndarray")
+    assert len(dup_pairs) >= (n1 - n0) * 0.8
+    if len(dup_pairs):
+        dang = np.abs(ang1[dup_pairs[:, 0]] - ang1[dup_pairs[:, 1]])
+        dang = np.minimum(dang, 2 * np.pi - dang)
+        assert dang.min() > np.deg2rad(5.0)  # distinct orientation bins
+
+
+def test_multi_orientation_rolled_pair():
+    """On a 45-deg in-plane roll, multi-orientation matching must not lose
+    correct matches vs single-orientation (it exists to stabilize pairs
+    whose dominant-orientation vote flips between views)."""
+    cv2 = pytest.importorskip("cv2")
+    img = _texture(2)
+    M = cv2.getRotationMatrix2D((W / 2, H / 2), 45.0, 1.0)
+    rot = cv2.warpAffine(img, M, (W, H))
+    counts = {}
+    for mo in (False, True):
+        f1 = extract_sift(jnp.asarray(img), max_features=MAXF,
+                          multi_orientation=mo)
+        f2 = extract_sift(jnp.asarray(rot), max_features=MAXF,
+                          multi_orientation=mo)
+        m = match_descriptors(f1.desc, f2.desc, f1.valid, f2.valid, ratio=0.8)
+        x1, x2 = gather_matched_points(f1.xy, f2.xy, m)
+        mask = np.asarray(m.mask)
+        x1n = np.asarray(x1)[mask]
+        x2n = np.asarray(x2)[mask]
+        pred = np.concatenate([x1n, np.ones((len(x1n), 1))], 1) @ M.T
+        counts[mo] = int((np.linalg.norm(pred - x2n, axis=1) < 3.0).sum())
+    assert counts[True] >= counts[False] * 0.9
+    assert counts[True] > 20
+
+
 def test_match_descriptors_exact_and_ratio():
     rng = np.random.default_rng(0)
     d2 = rng.normal(size=(64, 128)).astype(np.float32)
