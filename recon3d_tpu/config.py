@@ -91,6 +91,11 @@ class SfmConfig:
     min_matches_init: int = 100
     min_parallax_init_deg: float = 1.5
     max_parallax_init_deg: float = 40.0
+    # Initial pair: re-estimate a 5-DoF essential matrix directly (known K)
+    # instead of reusing the match stage's 7-DoF F via E = K^T F K — more
+    # robust at low correspondence counts / thin parallax (SURVEY §7 step 3
+    # "5-point-or-8-point E"; tests/test_ransac.py).
+    init_essential: bool = True
     pnp_min_correspondences: int = 12  # ref :478-510
     pnp_hypotheses: int = 2048
     pnp_thresholds_px: Tuple[float, ...] = (8.0, 10.0, 12.0)

@@ -20,6 +20,7 @@ calls are padded to power-of-two buckets so jit caches stay small.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Dict, List, Optional, Set, Tuple
@@ -149,15 +150,28 @@ def _reproj_errors_gather(K, Rs, ts, cam_idx, X, x):
     return jnp.where(z > 1e-6, err, 1e9)
 
 
-@jax.jit
-def _init_candidates_batch(K, Fs, x1s, x2s, masks, max_reproj, max_depth_factor):
-    """Score every initial-pair candidate in ONE dispatch: E from F, pose
+@functools.partial(jax.jit, static_argnames=("use_essential",))
+def _init_candidates_batch(K, Fs, x1s, x2s, masks, max_reproj,
+                           max_depth_factor, keys=None, use_essential=False):
+    """Score every initial-pair candidate in ONE dispatch: E (direct 5-DoF
+    RANSAC when use_essential, else K^T F K from the match-stage F), pose
     recovery, triangulation + validation, per-point parallax (reference
     find_best_initial_pair sfm_pipeline.py:331-433 runs this per candidate
-    sequentially)."""
+    sequentially, always via the F route)."""
 
-    def one(F, x1, x2, mask):
-        E = essential_from_fundamental(F, K)
+    def one(key, F, x1, x2, mask):
+        if use_essential:
+            # Re-estimate E on the (already F-verified) correspondences:
+            # the 5-DoF model rejects the off-manifold distortion a 7-DoF F
+            # can fit on thin-parallax pairs (ops/estimation.py,
+            # tests/test_ransac.py::test_essential_beats_fundamental_*).
+            from recon3d_tpu.ops.estimation import estimate_essential_ransac
+
+            E = estimate_essential_ransac(
+                key, K, x1, x2, mask, threshold_px=2.0, num_hypotheses=512
+            ).E
+        else:
+            E = essential_from_fundamental(F, K)
         R, t, front = recover_pose(E, x1, x2, K, mask)
         X, ok, parallax = _triangulate_validated(
             K, jnp.eye(3), jnp.zeros(3), R, t, x1, x2, mask,
@@ -165,7 +179,9 @@ def _init_candidates_batch(K, Fs, x1s, x2s, masks, max_reproj, max_depth_factor)
         )
         return R, t, ok, parallax
 
-    return jax.vmap(one)(Fs, x1s, x2s, masks)
+    if keys is None:
+        keys = jnp.zeros((Fs.shape[0], 2), jnp.uint32)
+    return jax.vmap(one)(keys, Fs, x1s, x2s, masks)
 
 
 @jax.jit
@@ -542,6 +558,8 @@ class SfMPipeline:
             K, jnp.asarray(Fs), jnp.asarray(x1p), jnp.asarray(x2p),
             jnp.asarray(maskp),
             cfg.max_reproj_error_px, cfg.max_depth_factor,
+            keys=jax.random.split(self._next_key(), B),
+            use_essential=cfg.init_essential,
         )
         Rb, tb = np.asarray(Rb), np.asarray(tb)
         ok_b, par_b = np.asarray(ok_b), np.asarray(par_b)

@@ -36,6 +36,78 @@ def test_fundamental_ransac_with_outliers(rng):
     assert inl[~out_mask].mean() > 0.9
 
 
+def test_essential_ransac_with_outliers(rng):
+    from recon3d_tpu.ops.epipolar import decompose_essential, recover_pose
+    from recon3d_tpu.ops.estimation import estimate_essential_ransac
+
+    scene = make_scene(rng, n_points=256, n_cams=2, noise_px=0.5,
+                       outlier_frac=0.3)
+    x1 = jnp.asarray(scene["obs"][0])
+    x2 = jnp.asarray(scene["obs"][1])
+    K = jnp.asarray(scene["K"], jnp.float32)
+    res = estimate_essential_ransac(
+        jax.random.PRNGKey(1), K, x1, x2, jnp.ones(256), threshold_px=2.0
+    )
+    inl = np.asarray(res.inliers)
+    out_mask = scene["outliers"][0] | scene["outliers"][1]
+    assert inl[out_mask].mean() < 0.05
+    assert inl[~out_mask].mean() > 0.9
+
+    # the recovered relative pose must match ground truth
+    R_rel = scene["Rs"][1] @ scene["Rs"][0].T
+    t_rel = scene["ts"][1] - R_rel @ scene["ts"][0]
+    R, t, _ = recover_pose(
+        res.E, x1, x2, K, jnp.asarray(res.inliers, jnp.float32)
+    )
+    assert rotation_angle_deg(np.asarray(R), R_rel) < 0.3
+    cos = abs(float(
+        np.dot(np.asarray(t).ravel(), t_rel)
+        / (np.linalg.norm(t) * np.linalg.norm(t_rel))
+    ))
+    assert cos > 0.999
+
+
+def test_essential_beats_fundamental_at_low_counts(rng):
+    """With few correspondences + outliers the 5-DoF E (known K) stays
+    accurate where the 7-DoF F route degrades — the reason the init pair
+    should estimate E directly when calibration is available."""
+    from recon3d_tpu.ops.epipolar import (
+        essential_from_fundamental, recover_pose,
+    )
+    from recon3d_tpu.ops.estimation import estimate_essential_ransac
+
+    err_E, err_F = [], []
+    for seed in range(6):
+        r = np.random.default_rng(100 + seed)
+        scene = make_scene(r, n_points=16, n_cams=2, noise_px=1.0,
+                           outlier_frac=0.25)
+        x1 = jnp.asarray(scene["obs"][0])
+        x2 = jnp.asarray(scene["obs"][1])
+        K = jnp.asarray(scene["K"], jnp.float32)
+        ones = jnp.ones(16)
+        R_rel = scene["Rs"][1] @ scene["Rs"][0].T
+
+        rE = estimate_essential_ransac(
+            jax.random.PRNGKey(seed), K, x1, x2, ones, threshold_px=2.0
+        )
+        R1, _, _ = recover_pose(
+            rE.E, x1, x2, K, jnp.asarray(rE.inliers, jnp.float32)
+        )
+        err_E.append(rotation_angle_deg(np.asarray(R1), R_rel))
+
+        rF = estimate_fundamental_ransac(
+            jax.random.PRNGKey(seed), x1, x2, ones, threshold_px=2.0
+        )
+        EF = essential_from_fundamental(rF.F, K)
+        R2, _, _ = recover_pose(
+            EF, x1, x2, K, jnp.asarray(rF.inliers, jnp.float32)
+        )
+        err_F.append(rotation_angle_deg(np.asarray(R2), R_rel))
+    # E must be at least as accurate in aggregate, and never catastrophic
+    assert np.median(err_E) <= np.median(err_F) + 0.05
+    assert np.max(err_E) < 5.0
+
+
 def test_pnp_dlt_exact(rng):
     scene = make_scene(rng, n_points=64, n_cams=2)
     K = scene["K"]
