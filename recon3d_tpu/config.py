@@ -96,6 +96,8 @@ class SfmConfig:
     # robust at low correspondence counts / thin parallax (SURVEY §7 step 3
     # "5-point-or-8-point E"; tests/test_ransac.py).
     init_essential: bool = True
+    init_essential_threshold_px: float = 2.0
+    init_essential_hypotheses: int = 512
     pnp_min_correspondences: int = 12  # ref :478-510
     pnp_hypotheses: int = 2048
     pnp_thresholds_px: Tuple[float, ...] = (8.0, 10.0, 12.0)

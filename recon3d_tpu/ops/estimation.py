@@ -21,6 +21,7 @@ from recon3d_tpu.ops.epipolar import (
     sampson_distance,
     sampson_distance_batch,
 )
+from recon3d_tpu.ops.lie import hat, so3_exp
 from recon3d_tpu.ops.linalg import einsum_hp, matmul_hp
 from recon3d_tpu.ops.ransac import ransac_with_refit, RansacResult
 from recon3d_tpu.ops.pnp import pnp_ransac, PnPResult
@@ -76,6 +77,80 @@ class EssentialResult(NamedTuple):
     E: jnp.ndarray
     inliers: jnp.ndarray
     num_inliers: jnp.ndarray
+
+
+def _refine_essential_manifold(
+    E0: jnp.ndarray,
+    K: jnp.ndarray,
+    KinvT: jnp.ndarray,
+    Kinv: jnp.ndarray,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    weights: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    threshold_px: float,
+) -> jnp.ndarray:
+    """LM refinement of E constrained to the essential manifold.
+
+    Parameterizes E(w, dt) = [t']_x (exp(w) R0) with (R0, t0) from the
+    cheirality-voted decomposition of E0 and t' = normalize(t0 + dt), and
+    minimizes weighted PIXEL Sampson error over the 6 parameters (5 DoF —
+    the translation-scale direction is flattened by the normalization, LM
+    damping absorbs the null direction). This is the LO-RANSAC step the
+    unconstrained 8-point refit cannot provide: at low correspondence
+    counts an unconstrained rank-2 refit drifts off the essential manifold
+    and recover_pose's projection then lands on a worse pose (measured:
+    2.6 -> 22.1 deg on a 16-point scene), while the manifold step can only
+    move within valid (R, t) geometry. The caller gates acceptance on the
+    MSAC score, so this is never worse than the RANSAC winner.
+    """
+    from recon3d_tpu.ops.epipolar import recover_pose
+
+    dt_ = E0.dtype
+    R0, t0, _ = recover_pose(E0, x1, x2, K, weights)
+    t0 = t0 / jnp.maximum(jnp.linalg.norm(t0), 1e-12)
+
+    def E_of(params):
+        w, dtv = params[:3], params[3:]
+        Rn = so3_exp(w) @ R0
+        tn = t0 + dtv
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+        return hat(tn) @ Rn
+
+    def resid(params, w):
+        F = matmul_hp(matmul_hp(KinvT, E_of(params)), Kinv)
+        return sampson_distance(F, x1, x2) * w
+
+    def lm_rounds(params, w, lam, n):
+        for _ in range(n):
+            J = jax.jacobian(resid)(params, w)
+            rr = resid(params, w)
+            JTJ = J.T @ J
+            g = J.T @ rr
+            step = jnp.linalg.solve(
+                JTJ + lam * jnp.eye(6, dtype=dt_), g
+            )
+            new_params = params - step
+            # accept only if the weighted SSE improves (scalar, traced)
+            new_sse = jnp.sum(jnp.square(resid(new_params, w)))
+            old_sse = jnp.sum(jnp.square(rr))
+            better = jnp.isfinite(new_sse) & (new_sse < old_sse)
+            params = jnp.where(better, new_params, params)
+            lam = jnp.where(better, lam * 0.5, lam * 4.0)
+        return params, lam
+
+    params = jnp.zeros(6, dt_)
+    lam = jnp.asarray(1e-4, dt_)
+    params, lam = lm_rounds(params, weights, lam, 6)
+    # re-estimate the inlier set once at the refined model, polish again
+    r_mid = sampson_distance(
+        matmul_hp(matmul_hp(KinvT, E_of(params)), Kinv), x1, x2
+    )
+    w2 = ((r_mid < threshold_px) & valid_b).astype(dt_)
+    w2 = jnp.where(jnp.sum(w2) >= 5, w2, weights)
+    params, _ = lm_rounds(params, w2, lam, 6)
+    E = E_of(params)
+    return E / jnp.maximum(jnp.linalg.norm(E.reshape(9)), 1e-12)
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",))
@@ -151,18 +226,46 @@ def estimate_essential_ransac(
     best = jnp.argmax(
         jnp.where(ok, counts.astype(jnp.float32) - 0.5 * norm_score, -1.0)
     )
-    E = Es[best]
-    inliers = inl[best]
+    E0 = Es[best]
+    inliers0 = inl[best]
 
-    # Iterative LS refit on the inlier set (masked normalized 8-point,
-    # rank-2 enforced inside fundamental_8point; already ||.||_F = 1).
+    def msac_of(E):
+        r = sampson_distance(to_F(E), x1, x2)
+        sc = jnp.sum(
+            jnp.where(
+                valid_b,
+                jnp.minimum(jnp.square(r), threshold_px * threshold_px),
+                0.0,
+            )
+        )
+        return jnp.where(jnp.isfinite(sc), sc, jnp.inf)
+
+    # Guarded local optimization (LO-RANSAC): build improvement candidates
+    # and keep whichever has the best MSAC score — the winner itself always
+    # competes, so refinement can never degrade the result (the previous
+    # unconditional 8-point refit did: 2.6 -> 22.1 deg rotation error
+    # measured on a 16-point scene).
+    # Candidate 1: iterative unconstrained LS refit (masked normalized
+    # 8-point, rank-2 enforced inside fundamental_8point).
+    E1 = E0
+    inliers = inliers0
     for _ in range(2):
         w = inliers.astype(jnp.float32) * (valid > 0)
         enough = jnp.sum(w) >= 8
         E_new = fundamental_8point(x1n, x2n, w)
-        E = jnp.where(enough, E_new, E)
-        r = sampson_distance(to_F(E), x1, x2)
+        E1 = jnp.where(enough, E_new, E1)
+        r = sampson_distance(to_F(E1), x1, x2)
         inliers = (r < threshold_px) & valid_b
+    # Candidate 2: manifold-constrained LM from the winner's pose.
+    E2 = _refine_essential_manifold(
+        E0, K, KinvT, Kinv, x1, x2,
+        inliers0.astype(jnp.float32), valid_b, threshold_px,
+    )
+    cands = jnp.stack([E0, E1, E2])
+    scores3 = jnp.stack([msac_of(E0), msac_of(E1), msac_of(E2)])
+    E = cands[jnp.argmin(scores3)]
+    r = sampson_distance(to_F(E), x1, x2)
+    inliers = (r < threshold_px) & valid_b
 
     return EssentialResult(
         E=E, inliers=inliers, num_inliers=jnp.sum(inliers)

@@ -198,6 +198,106 @@ def p3p_grunert(X: jnp.ndarray, x_norm: jnp.ndarray):
     return models, v_ok & s_ok & ~degenerate
 
 
+def epnp(X: jnp.ndarray, x_norm: jnp.ndarray):
+    """EPnP (Lepetit, Moreno-Noguer, Fua 2009) from n >= 4 correspondences.
+
+    X: (n, 3) world points; x_norm: (n, 2) normalized image coords.
+    Returns (models (2, 12) flattened [R|t], valid (2,) bool): the N=1 and
+    N=2 null-space candidates — like P3P's four roots, disambiguation is
+    left to the RANSAC vote (each candidate is its own hypothesis).
+
+    This is the reference's SOLVEPNP_EPNP cascade branch
+    (src/core/sfm_pipeline.py:567-584). Its niche next to DLT6/P3P: the
+    control-point formulation stays well-posed on PLANAR scenes (where the
+    6-point DLT's projection-matrix null space is rank-deficient) while
+    using every sample point (where 3-point P3P eats the full noise of its
+    minimal sample); see tests/test_pnp_p3p.py::test_epnp_wins_on_planar.
+    Everything is fixed-shape linear algebra (4x4 solve, 12x12 eigvecs,
+    Procrustes), so it vmaps over RANSAC hypothesis batches.
+    """
+    n = X.shape[0]
+    dt = X.dtype
+    # Control points: centroid + principal axes scaled to the data spread.
+    c0 = jnp.mean(X, axis=0)
+    Xc = X - c0
+    cov = einsum_hp("ni,nj->ij", Xc, Xc) / n
+    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    # Planar data: the smallest axis collapses; give it the mean spread so
+    # the control tetrahedron stays affinely independent (coplanar points
+    # simply get a zero barycentric weight on that axis).
+    scale = jnp.sqrt(jnp.maximum(evals, 1e-6 * jnp.maximum(evals[2], 1e-12)))
+    ctrl = c0[None, :] + (evecs * scale[None, :]).T  # (3, 3): c1..c3
+    C = jnp.concatenate([c0[None], ctrl], axis=0)    # (4, 3)
+
+    # Barycentric coordinates: [C^T; 1]^T alpha = [X; 1]
+    Ch = jnp.concatenate([C.T, jnp.ones((1, 4), dt)], axis=0)  # (4, 4)
+    Xh = jnp.concatenate([X.T, jnp.ones((1, n), dt)], axis=0)  # (4, n)
+    alphas = jnp.linalg.solve(Ch, Xh).T  # (n, 4)
+
+    # M (2n, 12): sum_j a_ij (x_j^c - u_i z_j^c) = 0 per image axis.
+    u, v = x_norm[:, 0], x_norm[:, 1]
+    zero = jnp.zeros((n, 4), dt)
+    rows_u = jnp.stack([alphas, zero, -u[:, None] * alphas], axis=-1)  # (n,4,3)
+    rows_v = jnp.stack([zero, alphas, -v[:, None] * alphas], axis=-1)
+    M = jnp.concatenate(
+        [rows_u.reshape(n, 12), rows_v.reshape(n, 12)], axis=0
+    )  # (2n, 12), column layout (x1, y1, z1, x2, y2, z2, ...) — per-j blocks
+    MtM = einsum_hp("ni,nj->ij", M, M)
+    _, V = jnp.linalg.eigh(MtM)
+    v1 = V[:, 0]  # smallest — camera-frame control coords up to scale
+    v2 = V[:, 1]
+
+    def ctrl_cam(vec):
+        return vec.reshape(4, 3)  # (4, 3) camera-frame control points
+
+    # pairwise distance index pairs of the 4 control points
+    pi = jnp.asarray([0, 0, 0, 1, 1, 2])
+    pj = jnp.asarray([1, 2, 3, 2, 3, 3])
+    dC = jnp.linalg.norm(C[pi] - C[pj], axis=1)  # (6,) world distances
+
+    def pose_from_ctrl(Cc):
+        """[R|t] + validity from camera-frame control points (Procrustes),
+        sign-fixed so the mean data-point depth is positive."""
+        # reconstruct camera-frame data points
+        Pc = alphas @ Cc  # (n, 3)
+        sign = jnp.where(jnp.mean(Pc[:, 2]) < 0, -1.0, 1.0)
+        Pc = Pc * sign
+        Pw_c = Xc  # world centered
+        Qc = Pc - jnp.mean(Pc, axis=0)
+        R = nearest_rotation(einsum_hp("ni,nj->ij", Qc, Pw_c))
+        t = jnp.mean(Pc, axis=0) - R @ c0
+        return jnp.concatenate([R.reshape(9), t])
+
+    # --- N=1: single null vector, scale from distance ratio
+    Cc1 = ctrl_cam(v1)
+    d1 = jnp.linalg.norm(Cc1[pi] - Cc1[pj], axis=1)
+    beta1 = jnp.sum(d1 * dC) / jnp.maximum(jnp.sum(d1 * d1), 1e-12)
+    m1 = pose_from_ctrl(Cc1 * beta1)
+
+    # --- N=2: betas from the linearized 3-unknown distance system
+    Cc2 = ctrl_cam(v2)
+    dv1 = Cc1[pi] - Cc1[pj]  # (6, 3)
+    dv2 = Cc2[pi] - Cc2[pj]
+    # ||b1 dv1 + b2 dv2||^2 = dC^2, unknowns (b11, b12, b22)
+    L = jnp.stack([
+        jnp.sum(dv1 * dv1, axis=1),
+        2.0 * jnp.sum(dv1 * dv2, axis=1),
+        jnp.sum(dv2 * dv2, axis=1),
+    ], axis=1)  # (6, 3)
+    rhs = dC * dC
+    LtL = L.T @ L + 1e-10 * jnp.eye(3, dtype=dt)
+    b = jnp.linalg.solve(LtL, L.T @ rhs)  # (b11, b12, b22)
+    b11 = jnp.maximum(b[0], 1e-12)
+    b1 = jnp.sqrt(b11)
+    b2 = b[1] / b1
+    m2 = pose_from_ctrl(Cc1 * b1 + Cc2 * b2)
+
+    models = jnp.stack([m1, m2])
+    finite = jnp.all(jnp.isfinite(models), axis=1)
+    nondeg = jnp.sum(jnp.square(Xc)) > 1e-10
+    return models, finite & nondeg
+
+
 def project_points(
     K: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray, X: jnp.ndarray
 ) -> jnp.ndarray:
@@ -337,12 +437,13 @@ def pnp_ransac_multi(
     vmap of independent single-threshold RANSACs that re-solved the same
     hypotheses T times.
 
-    The hypothesis pool is MIXED: half the budget comes from 6-point DLT
-    samples (accurate when inlier-rich), half from P3P minimal samples
-    (4 solutions per 3-point draw — a 3-point sample survives outlier
-    contamination ~eps^-3 vs the DLT's eps^-6, which is what the
-    reference's SOLVEPNP_P3P cascade branch provides,
-    reference src/core/sfm_pipeline.py:567-584).
+    The hypothesis pool is MIXED, covering the reference's full
+    ITERATIVE/EPNP/P3P cascade (src/core/sfm_pipeline.py:567-584): most of
+    the budget comes from 6-point DLT samples (accurate when inlier-rich),
+    an eighth from P3P minimal samples (4 solutions per 3-point draw — a
+    3-point sample survives outlier contamination ~eps^-3 vs the DLT's
+    eps^-6), and an eighth from 8-point EPnP samples (2 candidates each;
+    planar-robust where the DLT projection matrix is rank-deficient).
     """
     from recon3d_tpu.ops.ransac import sample_indices
 
@@ -360,27 +461,37 @@ def pnp_ransac_multi(
         )
         return jnp.concatenate([R.reshape(9), t], axis=0)  # (12,)
 
-    k_dlt, k_p3p = jax.random.split(key)
+    # invalid minimal-solver outputs become no-inlier models (t_z = -1e6
+    # puts every point behind the camera -> residual 1e9 in
+    # project_residuals_batch)
+    dead = jnp.concatenate(
+        [jnp.eye(3, dtype=X.dtype).reshape(9),
+         jnp.asarray([0.0, 0.0, -1e6], X.dtype)]
+    )
+
+    k_dlt, k_p3p, k_epnp = jax.random.split(key, 3)
     n_tri = max(num_hypotheses // 8, 1) if use_p3p else 0
-    n_dlt = max(num_hypotheses - 4 * n_tri, 1)
+    n_ep = max(num_hypotheses // 16, 1) if use_p3p else 0
+    n_dlt = max(num_hypotheses - 4 * n_tri - 2 * n_ep, 1)
     idx = sample_indices(k_dlt, valid, n_dlt, 6)
-    models_dlt = jax.vmap(sample_solver)(idx)          # (n_dlt, 12)
+    models = [jax.vmap(sample_solver)(idx)]            # (n_dlt, 12)
     if n_tri:
         idx3 = sample_indices(k_p3p, valid, n_tri, 3)
         m_p3p, ok_p3p = jax.vmap(
             lambda i: p3p_grunert(X[i], x_norm[i])
         )(idx3)                                        # (n_tri, 4, 12)
-        # invalid P3P solutions become no-inlier models (t_z = -1e6 puts
-        # every point behind the camera -> residual 1e9 in
-        # project_residuals_batch)
-        dead = jnp.concatenate(
-            [jnp.eye(3, dtype=X.dtype).reshape(9),
-             jnp.asarray([0.0, 0.0, -1e6], X.dtype)]
+        models.append(
+            jnp.where(ok_p3p[..., None], m_p3p, dead).reshape(-1, 12)
         )
-        m_p3p = jnp.where(ok_p3p[..., None], m_p3p, dead).reshape(-1, 12)
-        models = jnp.concatenate([models_dlt, m_p3p], axis=0)   # (H, 12)
-    else:
-        models = models_dlt
+    if n_ep:
+        idx8 = sample_indices(k_epnp, valid, n_ep, 8)
+        m_ep, ok_ep = jax.vmap(
+            lambda i: epnp(X[i], x_norm[i])
+        )(idx8)                                        # (n_ep, 2, 12)
+        models.append(
+            jnp.where(ok_ep[..., None], m_ep, dead).reshape(-1, 12)
+        )
+    models = jnp.concatenate(models, axis=0)           # (H, 12)
     residuals = project_residuals_batch(K, models, X, x_px)  # (H, N)
 
     valid_b = valid > 0

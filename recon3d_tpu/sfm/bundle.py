@@ -851,8 +851,11 @@ def bundle_adjust_log(
     P = _bucket(max(nP, hP), 256)
     cap = _bucket(max(O, hO), 256)
 
-    row_of = np.full(max(int(obs_log[:, 1].max()), max(cam_ids)) + 1, -1,
-                     np.int32)
+    # row_of is a traced arg of the jitted log solve: pad it to the same
+    # pow-4 bucket scheme as C so its shape (and the compiled program) stays
+    # stable as cameras are added instead of retracing every call.
+    row_need = max(int(obs_log[:, 1].max()), max(cam_ids)) + 1
+    row_of = np.full(_bucket(max(row_need, hC), 4), -1, np.int32)
     row_of[np.asarray(cam_ids, np.int64)] = np.arange(nC, dtype=np.int32)
     R0 = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
     t0 = np.zeros((C, 3), np.float32)
@@ -867,6 +870,7 @@ def bundle_adjust_log(
     kp_flat, kp_off = kp_table
     cache = device_cache if device_cache is not None else {}
     cached = cache.get("log")
+    uploaded = False
     if (
         cached is not None and cached["cap"] == cap
         and cached["count"] <= O
@@ -878,6 +882,7 @@ def bundle_adjust_log(
             dev_cam, dev_pid, dev_xy = (
                 cached["cam"], cached["pid"], cached["xy"]
             )
+            uploaded = True
         elif count + tail_cap <= cap:
             new = obs_log[count:O]
             tc = np.zeros(tail_cap, np.int32)
@@ -894,9 +899,11 @@ def bundle_adjust_log(
                 cached["pid"][:, None], jnp.asarray(tp)[:, None], start
             )[:, 0]
             dev_xy = _log_tail_update(cached["xy"], jnp.asarray(txy), start)
-        else:
-            cached = None  # tail bucket would overflow the cap: full upload
-    if cached is None or cache.get("log", {}).get("cap") != cap:
+            uploaded = True
+        # else: tail bucket would overflow the cap -> full upload below
+    if not uploaded:
+        # any cache-miss condition (no cache, cap change, log shrank, tail
+        # overflow) falls through to a full upload
         full_cam = np.zeros(cap, np.int32)
         full_pid = np.zeros(cap, np.int32)
         full_xy = np.zeros((cap, 2), np.float32)

@@ -150,9 +150,14 @@ def _reproj_errors_gather(K, Rs, ts, cam_idx, X, x):
     return jnp.where(z > 1e-6, err, 1e9)
 
 
-@functools.partial(jax.jit, static_argnames=("use_essential",))
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_essential", "essential_hypotheses"),
+)
 def _init_candidates_batch(K, Fs, x1s, x2s, masks, max_reproj,
-                           max_depth_factor, keys=None, use_essential=False):
+                           max_depth_factor, keys=None, use_essential=False,
+                           essential_threshold_px=2.0,
+                           essential_hypotheses=512):
     """Score every initial-pair candidate in ONE dispatch: E (direct 5-DoF
     RANSAC when use_essential, else K^T F K from the match-stage F), pose
     recovery, triangulation + validation, per-point parallax (reference
@@ -168,7 +173,9 @@ def _init_candidates_batch(K, Fs, x1s, x2s, masks, max_reproj,
             from recon3d_tpu.ops.estimation import estimate_essential_ransac
 
             E = estimate_essential_ransac(
-                key, K, x1, x2, mask, threshold_px=2.0, num_hypotheses=512
+                key, K, x1, x2, mask,
+                threshold_px=essential_threshold_px,
+                num_hypotheses=essential_hypotheses,
             ).E
         else:
             E = essential_from_fundamental(F, K)
@@ -323,6 +330,15 @@ class SfMPipeline:
         self._pts = _PointStore(3, np.float32)
         self._cols = _PointStore(3, np.uint8)
         self.observations: List[List[Tuple[int, int]]] = []
+        # Arrival-order (pid, cam, kp) log mirroring `observations` — feeds
+        # the device-resident log BA (sfm/bundle.py bundle_adjust_log):
+        # only rows appended since the previous BA call upload, and the
+        # point-major table rebuild happens on device. Kept in sync by
+        # _record_obs; bundle_adjustment_full detects external rewrites of
+        # `observations` (global_sfm, drop_invalid_observations) by total
+        # count and rebuilds.
+        self._obs_log = _PointStore(3, np.int32)
+        self._ba_log_cache: Dict = {}
         self.kp_to_point: List[np.ndarray] = []
         # Incremental 2D-3D correspondence index: for each UNregistered
         # image, {kp -> point id} maintained as links are created (via
@@ -560,6 +576,8 @@ class SfMPipeline:
             cfg.max_reproj_error_px, cfg.max_depth_factor,
             keys=jax.random.split(self._next_key(), B),
             use_essential=cfg.init_essential,
+            essential_threshold_px=cfg.init_essential_threshold_px,
+            essential_hypotheses=cfg.init_essential_hypotheses,
         )
         Rb, tb = np.asarray(Rb), np.asarray(tb)
         ok_b, par_b = np.asarray(ok_b), np.asarray(par_b)
@@ -657,6 +675,24 @@ class SfMPipeline:
         for (j, kpj) in self._kp_links.get(cam, {}).get(int(kp), ()):
             if j not in self.registered:
                 self.corr.setdefault(j, {}).setdefault(kpj, pid)
+
+    def _record_obs(self, pid: int, cam: int, kp: int):
+        """Append one observation to BOTH the per-point list and the
+        arrival-order log (the log BA's append-only upload contract)."""
+        self.observations[pid].append((cam, kp))
+        self._obs_log.append((pid, cam, kp))
+
+    def _rebuild_obs_log(self):
+        """Reconstruct the arrival-order log from `observations` after an
+        external rewrite (point renumbering in drop_invalid_observations /
+        global_sfm) and invalidate the device-side log cache."""
+        self._ba_log_cache.clear()
+        rows = [
+            (pid, c, k)
+            for pid, obs in enumerate(self.observations)
+            for (c, k) in obs
+        ]
+        self._obs_log = _PointStore(3, np.int32, data=rows if rows else None)
 
     def _correspondences_2d3d(self, i: int):
         """2D-3D correspondences for an unregistered image: matched
@@ -785,7 +821,7 @@ class SfMPipeline:
                     np.asarray(pids)[sel].tolist(),
                 ):
                     self._note_kp_link(i, kp, pid)
-                    self.observations[pid].append((i, kp))
+                    self._record_obs(pid, i, kp)
                 accepted.append(i)
                 break
         det["accept"] += time.time() - tm
@@ -836,7 +872,7 @@ class SfMPipeline:
             for kp, pid in zip(kps[good], pids[good]):
                 if self.kp_to_point[to_cam][kp] < 0:
                     self._note_kp_link(to_cam, int(kp), int(pid))
-                    self.observations[pid].append((to_cam, int(kp)))
+                    self._record_obs(int(pid), to_cam, int(kp))
 
         _link(pa, b, kpb, (pa >= 0) & (pb < 0))
         _link(pb, a, kpa, (pb >= 0) & (pa < 0))
@@ -878,6 +914,8 @@ class SfMPipeline:
             v = int(np.clip(round(x1[idx, 1]), 0, Hh - 1))
             self._cols.append((color_img[v, u] * 255).astype(np.uint8))
             self.observations.append([(a, int(ka[idx])), (b, int(kb[idx]))])
+            self._obs_log.append((pid, a, int(ka[idx])))
+            self._obs_log.append((pid, b, int(kb[idx])))
             self._note_kp_link(a, int(ka[idx]), pid)
             self._note_kp_link(b, int(kb[idx]), pid)
             created += 1
@@ -977,7 +1015,7 @@ class SfMPipeline:
                 )
                 if self.kp_to_point[cam][kp] < 0:
                     self._note_kp_link(cam, kp, pid)
-                    self.observations[pid].append((cam, kp))
+                    self._record_obs(pid, cam, kp)
 
         # ---- phase 2: batched pairwise triangulation of fresh matches
         fresh_sets = [(a, b, ka, kb) for (a, b, ka, kb) in fresh_sets if len(ka)]
@@ -1030,6 +1068,8 @@ class SfMPipeline:
                 v = int(np.clip(round(x1[idx, 1]), 0, Hh - 1))
                 self._cols.append((color_img[v, u] * 255).astype(np.uint8))
                 self.observations.append([(a, int(ka[idx])), (b, int(kb[idx]))])
+                self._obs_log.append((pid, a, int(ka[idx])))
+                self._obs_log.append((pid, b, int(kb[idx])))
                 self._note_kp_link(a, int(ka[idx]), pid)
                 self._note_kp_link(b, int(kb[idx]), pid)
                 total += 1
@@ -1102,7 +1142,7 @@ class SfMPipeline:
         runs the full budget."""
         if len(self.points3d) < 8 or len(self.registered) < 2:
             return
-        from recon3d_tpu.sfm.bundle import bundle_adjust
+        from recon3d_tpu.sfm.bundle import bundle_adjust, bundle_adjust_log
 
         points = self._points_as_array()
         # Predict FINAL sizes from registration progress so the LM program
@@ -1113,21 +1153,42 @@ class SfMPipeline:
         grow = max(V_total, V_reg) / V_reg
         n_obs = sum(len(o) for o in self.observations)
         hint = (V_total, int(len(points) * grow), int(n_obs * grow))
-        new_poses, new_points, stats = bundle_adjust(
-            np.asarray(self.camera.K),
-            self.poses,
-            points,
-            self.observations,
-            self.kp_xy,
-            self.config.bundle,
-            size_hint=hint,
-            max_iterations=(
-                None if final
-                else self.config.bundle.intermediate_max_iterations
-            ),
-            kp_table=self._kp_table(),
-            mesh=self.mesh,
+        max_iters = (
+            None if final
+            else self.config.bundle.intermediate_max_iterations
         )
+        if self.mesh is None:
+            # Single device: append-only log BA — the observation table
+            # lives on device between calls, only new tail rows upload, and
+            # the point-major reorder happens on device (bundle_adjust's
+            # host table build + full re-upload dominated incremental BA
+            # wall-clock on the tunneled host; BASELINE.md).
+            if len(self._obs_log) != n_obs:
+                self._rebuild_obs_log()  # observations were rewritten
+            new_poses, new_points, stats = bundle_adjust_log(
+                np.asarray(self.camera.K),
+                self.poses,
+                points,
+                self._obs_log.view(),
+                self._kp_table(),
+                self.config.bundle,
+                size_hint=hint,
+                max_iterations=max_iters,
+                device_cache=self._ba_log_cache,
+            )
+        else:
+            new_poses, new_points, stats = bundle_adjust(
+                np.asarray(self.camera.K),
+                self.poses,
+                points,
+                self.observations,
+                self.kp_xy,
+                self.config.bundle,
+                size_hint=hint,
+                max_iterations=max_iters,
+                kp_table=self._kp_table(),
+                mesh=self.mesh,
+            )
         self.poses = {c: (np.asarray(R), np.asarray(t)) for c, (R, t) in new_poses.items()}
         self.points3d = new_points.astype(np.float32)
         det = self.stats.setdefault(

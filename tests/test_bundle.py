@@ -168,3 +168,90 @@ def test_ba_sharded_matches_single_device(rng):
         np.testing.assert_allclose(
             mesh_poses[c][1], single_poses[c][1], atol=1e-3
         )
+
+
+def _obs_to_log(observations):
+    return np.asarray(
+        [(pid, c, k) for pid, obs in enumerate(observations)
+         for (c, k) in obs],
+        np.int32,
+    )
+
+
+def test_ba_log_matches_list(rng):
+    """bundle_adjust_log (device-resident append-only observation log,
+    on-device point-major reorder) must reproduce bundle_adjust exactly:
+    identical table content in identical reduction order."""
+    from recon3d_tpu.sfm.bundle import bundle_adjust_log
+
+    scene, poses, points, obs, kp_xy = _perturbed_problem(
+        rng, n_cams=5, n_points=150)
+    cfg = BundleConfig(max_iterations=10)
+    list_poses, list_points, s_list = bundle_adjust(
+        scene["K"], poses, points, obs, kp_xy, cfg,
+    )
+    kp_off = np.zeros(len(kp_xy) + 1, np.int64)
+    np.cumsum([len(k) for k in kp_xy], out=kp_off[1:])
+    kp_flat = np.concatenate([np.asarray(k, np.float32) for k in kp_xy])
+    log_poses, log_points, s_log = bundle_adjust_log(
+        scene["K"], poses, points, _obs_to_log(obs), (kp_flat, kp_off), cfg,
+    )
+    assert s_log["rms_after"] < 0.5
+    assert abs(s_log["rms_after"] - s_list["rms_after"]) < 1e-4
+    np.testing.assert_allclose(log_points, list_points, atol=1e-5)
+    for c in list_poses:
+        np.testing.assert_allclose(log_poses[c][0], list_poses[c][0], atol=1e-6)
+        np.testing.assert_allclose(log_poses[c][1], list_poses[c][1], atol=1e-6)
+
+
+def test_ba_log_incremental_cache(rng):
+    """The tail-only upload path (cache hit, appended rows) and the
+    shrink/rebuild fall-through (cache count > current log) both produce
+    the same result as a cold full upload."""
+    from recon3d_tpu.sfm.bundle import bundle_adjust_log
+
+    scene, poses, points, obs, kp_xy = _perturbed_problem(
+        rng, n_cams=5, n_points=150)
+    cfg = BundleConfig(max_iterations=10)
+    kp_off = np.zeros(len(kp_xy) + 1, np.int64)
+    np.cumsum([len(k) for k in kp_xy], out=kp_off[1:])
+    kp_flat = np.concatenate([np.asarray(k, np.float32) for k in kp_xy])
+    kp_table = (kp_flat, kp_off)
+    log = _obs_to_log(obs)
+
+    cache = {}
+    # call 1: cold upload of a prefix
+    n1 = len(log) - 120
+    obs1 = [[(c, k) for (c, k) in o] for o in obs]
+    # prefix log must stay consistent: take the first n1 rows
+    p1, _, s1 = bundle_adjust_log(
+        scene["K"], poses, points, log[:n1], kp_table, cfg,
+        device_cache=cache,
+    )
+    assert cache["log"]["count"] == n1
+    # call 2: tail append path (cache hit)
+    p2, x2, s2 = bundle_adjust_log(
+        scene["K"], poses, points, log, kp_table, cfg,
+        device_cache=cache,
+    )
+    assert cache["log"]["count"] == len(log)
+    # reference: cold run on the full log
+    p_ref, x_ref, s_ref = bundle_adjust_log(
+        scene["K"], poses, points, log, kp_table, cfg,
+    )
+    np.testing.assert_allclose(x2, x_ref, atol=1e-6)
+    for c in p_ref:
+        np.testing.assert_allclose(p2[c][0], p_ref[c][0], atol=1e-7)
+        np.testing.assert_allclose(p2[c][1], p_ref[c][1], atol=1e-7)
+    # call 3: log SHRANK below the cached count at the same cap — must
+    # fall through to a full upload (regression: previously an unbound-
+    # variable NameError), and still match a cold run on the short log
+    short = log[: n1 - 60]
+    p3, x3, s3 = bundle_adjust_log(
+        scene["K"], poses, points, short, kp_table, cfg,
+        device_cache=cache,
+    )
+    p3r, x3r, s3r = bundle_adjust_log(
+        scene["K"], poses, points, short, kp_table, cfg,
+    )
+    np.testing.assert_allclose(x3, x3r, atol=1e-6)

@@ -150,3 +150,85 @@ def test_pnp_ransac_high_inlier_unchanged(rng):
     assert int(res.num_inliers[0]) >= 0.9 * n_in
     assert _rot_err_deg(np.asarray(res.R[0]), R) < 0.2
     np.testing.assert_allclose(np.asarray(res.t[0]), t, atol=0.02)
+
+
+def test_epnp_recovers_pose(rng):
+    """Noise-free non-planar sample: one of EPnP's two null-space
+    candidates recovers the exact pose."""
+    from recon3d_tpu.ops.pnp import epnp
+
+    hits = 0
+    for _ in range(20):
+        R = _rot(rng)
+        t = rng.normal(size=3)
+        t[2] = abs(t[2]) + 4.0
+        X = rng.normal(size=(8, 3)) * 1.5
+        Xc = X @ R.T + t
+        if (Xc[:, 2] < 0.5).any():
+            continue
+        xn = Xc[:, :2] / Xc[:, 2:3]
+        models, valid = epnp(
+            jnp.asarray(X, jnp.float32), jnp.asarray(xn, jnp.float32)
+        )
+        models, valid = np.asarray(models), np.asarray(valid)
+        best = 1e9
+        for m, ok in zip(models, valid):
+            if not ok:
+                continue
+            Rm = m[:9].reshape(3, 3)
+            tm = m[9:]
+            cos = np.clip((np.trace(Rm @ R.T) - 1) / 2, -1, 1)
+            best = min(best, np.degrees(np.arccos(cos)) + np.linalg.norm(tm - t))
+        if best < 0.5:
+            hits += 1
+    assert hits >= 15, hits
+
+
+def test_epnp_wins_on_planar(rng):
+    """PLANAR scene with noise: the 6-point DLT's projection-matrix null
+    space is rank-deficient (a plane admits a projective ambiguity), while
+    EPnP's control-point parameterization stays well-posed — the regime the
+    reference covers with its SOLVEPNP_EPNP cascade branch
+    (src/core/sfm_pipeline.py:567-584)."""
+    from recon3d_tpu.ops.pnp import epnp, pnp_dlt
+
+    wins_ep, wins_dlt = 0, 0
+    for trial in range(12):
+        r = np.random.default_rng(200 + trial)
+        R = _rot(r)
+        t = r.normal(size=3)
+        t[2] = abs(t[2]) + 5.0
+        # points on the z=0 world plane
+        X = np.concatenate(
+            [r.uniform(-2, 2, size=(16, 2)), np.zeros((16, 1))], axis=1
+        )
+        Xc = X @ R.T + t
+        if (Xc[:, 2] < 0.5).any():
+            continue
+        xn = Xc[:, :2] / Xc[:, 2:3] + r.normal(scale=5e-4, size=(16, 2))
+
+        def err_of(Rm, tm):
+            cos = np.clip((np.trace(np.asarray(Rm) @ R.T) - 1) / 2, -1, 1)
+            return np.degrees(np.arccos(cos))
+
+        models, valid = epnp(
+            jnp.asarray(X, jnp.float32), jnp.asarray(xn, jnp.float32)
+        )
+        e_ep = min(
+            (err_of(m[:9].reshape(3, 3), m[9:])
+             for m, ok in zip(np.asarray(models), np.asarray(valid)) if ok),
+            default=180.0,
+        )
+        R_d, t_d = pnp_dlt(
+            jnp.asarray(X, jnp.float32), jnp.asarray(xn, jnp.float32),
+            jnp.ones(16),
+        )
+        e_dlt = err_of(R_d, np.asarray(t_d))
+        if e_ep < 1.0:
+            wins_ep += 1
+        if e_dlt < 1.0:
+            wins_dlt += 1
+    # EPnP must be reliable on planar data; the DLT must NOT be (otherwise
+    # this test guards nothing)
+    assert wins_ep >= 9, (wins_ep, wins_dlt)
+    assert wins_dlt <= wins_ep - 3, (wins_ep, wins_dlt)
