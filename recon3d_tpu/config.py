@@ -48,6 +48,13 @@ class MatchConfig:
     ransac_confidence: float = 0.999
     ransac_hypotheses: int = 1024
     max_matches: int = 4096           # padded match capacity per pair
+    # Long-span probe pairs that fail at load resolution get ONE selective
+    # re-match at rematch_scale x upsampled resolution (Lowe's -1 octave:
+    # SIFT on the doubled image sees one octave of finer scales, which
+    # recovers weak small-scale features — the binding constraint on the
+    # 300-view arc was missing long-range edges, docs/global_sfm.md).
+    long_span_rematch: bool = True
+    rematch_scale: float = 2.0
 
 
 @dataclass(frozen=True)

@@ -343,11 +343,17 @@ class NeuralMatcher:
         return self._pairs_jit[sig]
 
     def match_pairs_batched(self, features, pairs, key, chunk: int = 8,
-                            hw=None):
+                            hw=None, mesh=None):
         """All candidate pairs LightGlue-matched + F-verified in chunked
         single-dispatch batches. Same return contract as
         features.frontend.match_pairs_batched: (i, j, idx1, idx2, F,
-        n_inliers, n_raw) with original keypoint indices."""
+        n_inliers, n_raw) with original keypoint indices.
+
+        mesh: optional jax.sharding.Mesh — the pair axis of each chunk
+        shards over the mesh's 'data' axis with features replicated, the
+        same decomposition as the classical frontend (SURVEY §7 step 10/11:
+        neural inference sharded over the pair axis; reference
+        neural_matcher.py:101-147 runs pairs serially on one GPU)."""
         import numpy as np
 
         hw = jnp.asarray(hw or (1024, 1024), jnp.float32)
@@ -355,7 +361,19 @@ class NeuralMatcher:
         desc = jnp.stack([f.desc for f in features])
         xy = jnp.stack([f.xy for f in features])
         valid = jnp.stack([f.valid for f in features])
-        fn = self._get_pairs_fn(int(desc.shape[1]))
+        n_data = mesh.shape["data"] if mesh is not None else 1
+        pair_sh = key_sh = None
+        if n_data > 1:
+            from recon3d_tpu.parallel.mesh import data_sharding, replicated
+
+            chunk = max(chunk, n_data) // n_data * n_data
+            rep = replicated(mesh)
+            desc = jax.device_put(desc, rep)
+            xy = jax.device_put(xy, rep)
+            valid = jax.device_put(valid, rep)
+            pair_sh = data_sharding(mesh, 1, 0)
+            key_sh = data_sharding(mesh, 2, 0)
+        fn = self._get_pairs_fn((int(desc.shape[1]), chunk))
         out = []
         for c0 in range(0, len(pairs), chunk):
             batch = pairs[c0 : c0 + chunk]
@@ -363,6 +381,10 @@ class NeuralMatcher:
             pi = jnp.asarray([p[0] for p in padded], jnp.int32)
             pj = jnp.asarray([p[1] for p in padded], jnp.int32)
             keys = jax.random.split(jax.random.fold_in(key, c0), chunk)
+            if n_data > 1:
+                pi = jax.device_put(pi, pair_sh)
+                pj = jax.device_put(pj, pair_sh)
+                keys = jax.device_put(keys, key_sh)
             idx2, inl, F, n_inl, n_raw = fn(
                 self._lg_params, desc, xy, valid, pi, pj, keys, hw
             )

@@ -94,6 +94,63 @@ def fundamental_8point(
     return F / jnp.maximum(norm, 1e-12)[..., None, None]
 
 
+def homography_dlt(
+    x1: jnp.ndarray, x2: jnp.ndarray, mask: jnp.ndarray,
+    fast: bool = False,
+) -> jnp.ndarray:
+    """Masked normalized DLT homography (x2 ~ H x1).
+
+    x1, x2: (..., N, 2); mask: (..., N) with >= 4 valid. Returns H
+    (..., 3, 3) scaled so H[2,2]-free norm ||H||_F = 1. Used by the
+    two-view degeneracy test (a pair whose F-inliers are explained by a
+    single H carries no parallax information — self-similar texture or a
+    pure-rotation/planar view; COLMAP's mapper applies the same H/F
+    model-selection gate)."""
+    T1 = _normalization_transform(x1, mask)
+    T2 = _normalization_transform(x2, mask)
+    n1 = _apply_h(T1, x1)
+    n2 = _apply_h(T2, x2)
+    u1, v1 = n1[..., 0], n1[..., 1]
+    u2, v2 = n2[..., 0], n2[..., 1]
+    ones = jnp.ones_like(u1)
+    zero = jnp.zeros_like(u1)
+    # two rows per correspondence of the standard 9-column DLT system
+    r1 = jnp.stack(
+        [u1, v1, ones, zero, zero, zero, -u2 * u1, -u2 * v1, -u2], axis=-1
+    )
+    r2 = jnp.stack(
+        [zero, zero, zero, u1, v1, ones, -v2 * u1, -v2 * v1, -v2], axis=-1
+    )
+    A = jnp.concatenate([r1, r2], axis=-2) * jnp.concatenate(
+        [mask, mask], axis=-1
+    )[..., None]
+    AtA = einsum_hp("...ni,...nj->...ij", A, A)
+    h = smallest_eigvec(AtA, fast=fast)
+    H = h.reshape(h.shape[:-1] + (3, 3))
+    # Denormalize: H = T2^-1 H_norm T1
+    H = matmul_hp(matmul_hp(jnp.linalg.inv(T2), H), T1)
+    norm = jnp.linalg.norm(H.reshape(H.shape[:-2] + (9,)), axis=-1)
+    return H / jnp.maximum(norm, 1e-12)[..., None, None]
+
+
+def homography_transfer_distance(
+    H: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray
+) -> jnp.ndarray:
+    """Symmetric transfer distance ||H x1 - x2|| + ||H^-1 x2 - x1|| (halved),
+    in pixels. H: (..., 3, 3); x1, x2: (..., N, 2)."""
+    def fwd(Hm, a, b):
+        xh = jnp.concatenate([a, jnp.ones_like(a[..., :1])], axis=-1)
+        p = einsum_hp("...ij,...nj->...ni", Hm, xh)
+        z = p[..., 2:]
+        z = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        return jnp.linalg.norm(p[..., :2] / z - b, axis=-1)
+
+    Hinv = jnp.linalg.inv(
+        H + 1e-12 * jnp.eye(3, dtype=H.dtype)
+    )
+    return 0.5 * (fwd(H, x1, x2) + fwd(Hinv, x2, x1))
+
+
 def epipolar_distance(F: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     """Symmetric epipolar (point-to-line) distance in pixels.
 

@@ -14,9 +14,11 @@ pose problem", PAMI 2004), mapped to TPU constraints:
   QR of Q^T (XLA-native); the last 4 columns are the orthonormal basis
   (X, Y, Z, W), so E = x X + y Y + z Z + W.
 - det(E) = 0 and the 9 trace constraints (2 E E^T - tr(E E^T) I) E = 0
-  are expanded over the 20 cubic monomials of (x, y, z) with STATIC
-  polynomial arithmetic (unrolled small-cube convolutions — no symbolic
-  runtime work, everything fuses into elementwise VPU code).
+  are trilinear forms in E's 9 entries; their coefficient tensors are
+  precomputed ONCE at import (numpy dict polynomials), so the runtime
+  expansion over the 20 cubic monomials of (x, y, z) is a single einsum
+  against a (10, 9, 9, 9) constant — MXU-shaped and tiny to compile
+  (the unrolled polynomial-cube formulation compiled ~14 min on TPU).
 - The 10x20 system reduces by ONE batched 10x10 solve (MXU) instead of
   pivoted Gauss-Jordan.
 - The degree-10 polynomial in z is solved with Durand-Kerner (Weierstrass)
@@ -51,6 +53,97 @@ _DK_ITERS = 60
 _DEAD_E = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
                    np.float32)  # Sampson num=1, den=0 -> ~1e6 px residual
 
+
+def _constraint_tensors():
+    """Static coefficient tensors of the 10 cubic constraints.
+
+    Each constraint (det(E) and the nine entries of
+    (2 E E^T - tr(E E^T) I) E) is a trilinear form in the 9 entries of E:
+    P(E) = sum_{abc} c_abc E_a E_b E_c. Precomputing c once (numpy dict
+    polynomial arithmetic at import) turns the runtime monomial expansion
+    into ONE einsum against a (10, 9, 9, 9) constant — the previous
+    unrolled polynomial-cube arithmetic (_pmul over (4,4,4) cubes) traced
+    into thousands of HLO ops and compiled for ~14 minutes on TPU for the
+    vmapped RANSAC program.
+
+    Returns (C (10, 9, 9, 9) float64, M (64, 20) float64) where M maps
+    products m_i m_j m_k of m = (x, y, z, 1) onto the 20 cubic monomial
+    columns of the Nister ordering (_MONO).
+    """
+    # polynomial over E entries: dict {sorted entry-index tuple: coeff}
+    def pmulq(p, q):
+        out = {}
+        for ka, va in p.items():
+            for kb, vb in q.items():
+                k = tuple(sorted(ka + kb))
+                out[k] = out.get(k, 0.0) + va * vb
+        return out
+
+    def padd(p, q, s=1.0):
+        out = dict(p)
+        for k, v in q.items():
+            out[k] = out.get(k, 0.0) + s * v
+        return out
+
+    E = [[{(3 * r + c,): 1.0} for c in range(3)] for r in range(3)]
+    # det(E)
+    def minor(a, b, c, d):
+        return padd(pmulq(a, b), pmulq(c, d), -1.0)
+
+    det = padd(
+        padd(
+            pmulq(E[0][0], minor(E[1][1], E[2][2], E[1][2], E[2][1])),
+            pmulq(E[0][1], minor(E[1][0], E[2][2], E[1][2], E[2][0])),
+            -1.0,
+        ),
+        pmulq(E[0][2], minor(E[1][0], E[2][1], E[1][1], E[2][0])),
+    )
+    eet = [[None] * 3 for _ in range(3)]
+    for r in range(3):
+        for c in range(3):
+            acc = {}
+            for k in range(3):
+                acc = padd(acc, pmulq(E[r][k], E[c][k]))
+            eet[r][c] = acc
+    tr = padd(padd(eet[0][0], eet[1][1]), eet[2][2])
+    cons = []
+    for r in range(3):
+        for c in range(3):
+            acc = {}
+            for k in range(3):
+                T_rk = padd(
+                    {k2: 2.0 * v for k2, v in eet[r][k].items()},
+                    tr if r == k else {}, -1.0,
+                )
+                acc = padd(acc, pmulq(T_rk, E[k][c]))
+            cons.append(acc)
+
+    C = np.zeros((10, 9, 9, 9), np.float64)
+    for q, poly in enumerate([det] + cons):
+        for key, v in poly.items():
+            a, b, c = key  # degree exactly 3
+            # symmetrize over the distinct permutations
+            perms = {(a, b, c), (a, c, b), (b, a, c),
+                     (b, c, a), (c, a, b), (c, b, a)}
+            for p in perms:
+                C[q][p] += v / len(perms)
+
+    # monomial map: m = (x, y, z, 1); product m_i m_j m_k -> _MONO column
+    mono_col = {m: i for i, m in enumerate(_MONO)}
+    M = np.zeros((64, 20), np.float64)
+    for i in range(4):
+        for j in range(4):
+            for k in range(4):
+                exps = [0, 0, 0]
+                for ax in (i, j, k):
+                    if ax < 3:
+                        exps[ax] += 1
+                M[i * 16 + j * 4 + k, mono_col[tuple(exps)]] = 1.0
+    return C, M
+
+
+_C_TENSOR, _MONO_MAP = _constraint_tensors()
+
 # Shift for the root-finding chart: q(v) = p(v + delta). Arbitrary value,
 # only needs to avoid being a root of p itself (measure zero); shifting
 # keeps a root of p at z = 0 from zeroing q's constant term, which would
@@ -60,23 +153,6 @@ _SHIFT_MAT = np.array(
     [[(_math.comb(j, k) * _DELTA ** (j - k)) if j >= k else 0.0
       for j in range(11)] for k in range(11)], np.float32,
 )
-
-
-def _pmul(a, da: int, b, db: int):
-    """Product of two dense trivariate polynomial cubes.
-
-    a: (da+1, da+1, da+1), b likewise; returns (da+db+1,)^3. Static loops —
-    under jit this unrolls into a handful of fused multiply-adds.
-    """
-    d = da + db
-    out = jnp.zeros((d + 1, d + 1, d + 1), a.dtype)
-    for i in range(da + 1):
-        for j in range(da + 1 - i):
-            for k in range(da + 1 - i - j):
-                out = out.at[i:i + db + 1, j:j + db + 1, k:k + db + 1].add(
-                    a[i, j, k] * b
-                )
-    return out
 
 
 def _conv1(a, b):
@@ -114,36 +190,21 @@ def nister_5point(x1n: jnp.ndarray, x2n: jnp.ndarray):
     qf, _ = jnp.linalg.qr(Q.T, mode="complete")  # (9, 9)
     basis = qf[:, 5:9].T.reshape(4, 3, 3)  # X, Y, Z, W
 
-    # E entries as degree-1 cubes c[i,j,k] of x^i y^j z^k.
-    e = [[jnp.zeros((2, 2, 2), dt)
-          .at[1, 0, 0].set(basis[0, r, c])
-          .at[0, 1, 0].set(basis[1, r, c])
-          .at[0, 0, 1].set(basis[2, r, c])
-          .at[0, 0, 0].set(basis[3, r, c])
-          for c in range(3)] for r in range(3)]
-
-    # det(E): cubic cube.
-    def minor2(a, b, c, d):
-        return _pmul(a, 1, b, 1) - _pmul(c, 1, d, 1)
-
-    det = (
-        _pmul(e[0][0], 1, minor2(e[1][1], e[2][2], e[1][2], e[2][1]), 2)
-        - _pmul(e[0][1], 1, minor2(e[1][0], e[2][2], e[1][2], e[2][0]), 2)
-        + _pmul(e[0][2], 1, minor2(e[1][0], e[2][1], e[1][1], e[2][0]), 2)
-    )
-
-    # Trace constraints: (2 E E^T - tr(E E^T) I) E = 0, nine cubics.
-    eet = [[sum(_pmul(e[r][k], 1, e[c][k], 1) for k in range(3))
-            for c in range(3)] for r in range(3)]
-    tr = eet[0][0] + eet[1][1] + eet[2][2]
-    T = [[2.0 * eet[r][c] - (tr if r == c else 0.0) for c in range(3)]
-         for r in range(3)]
-    cons = [sum(_pmul(T[r][k], 2, e[k][c], 1) for k in range(3))
-            for r in range(3) for c in range(3)]
-
-    cubes = [det] + cons  # 10 cubic cubes
-    A = jnp.stack(
-        [jnp.stack([cb[m] for m in _MONO]) for cb in cubes]
+    # The 10 cubic constraints (det + trace) as trilinear forms over E's 9
+    # entries, assembled via the precomputed static tensor: with
+    # E = x X + y Y + z Z + W, the monomial coefficients are
+    # G_qijk = C_qabc B_ia B_jb B_kc for B = (X, Y, Z, W) flattened — two
+    # small einsums instead of unrolled polynomial-cube arithmetic (which
+    # compiled for ~14 min on TPU; see _constraint_tensors).
+    B = basis.reshape(4, 9)
+    G = jnp.einsum(
+        "qabc,ia,jb,kc->qijk",
+        jnp.asarray(_C_TENSOR, dt), B, B, B,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (10, 4, 4, 4)
+    A = jnp.einsum(
+        "qm,mn->qn", G.reshape(10, 64), jnp.asarray(_MONO_MAP, dt),
+        precision=jax.lax.Precision.HIGHEST,
     )  # (10, 20)
 
     # Reduce [A1 | A2] -> [I | Ar]: one 10x10 solve (vs Gauss-Jordan).

@@ -150,15 +150,27 @@ def rotation_averaging(ei, ej, R_rel, w, V, iters: int | None = None):
 
     @jax.jit
     def run(R):
-        def step(R, _):
+        def step(R, k):
             pred_j = jnp.einsum("eab,ebc->eac", Rr, R[ei_j])       # for ej
             pred_i = jnp.einsum("eba,ebc->eac", Rr, R[ej_j])       # R^T via eba
             resid = jnp.linalg.norm(
                 (pred_j - R[ej_j]).reshape(len(ei), -1), axis=-1
             )
             # Cauchy weights around the current consensus scale; the floor
-            # keeps well-fitting graphs (resid ~ 0) at full weight
-            sigma = jnp.maximum(jnp.median(resid), 0.02)
+            # keeps well-fitting graphs (resid ~ 0) at full weight.
+            # Graduated non-convexity: sigma starts 8x wide and anneals to
+            # 1x over the first half of the schedule. The spanning-tree
+            # init composes ADJACENT edges, so a window-limited arc starts
+            # bent; the few long-span edges that could unbend it disagree
+            # with that consensus by exactly the accumulated drift, and an
+            # immediately-tight Cauchy kernel suppresses them as outliers
+            # (measured on the 300-view arc: aligned absolute rotation
+            # error stuck at ~33 deg median; annealing lets the long edges
+            # pull first, then tightens against true outliers).
+            anneal = 1.0 + 7.0 * jnp.square(
+                jnp.maximum(1.0 - 2.0 * k / jnp.maximum(iters, 1), 0.0)
+            )
+            sigma = jnp.maximum(jnp.median(resid), 0.02) * anneal
             wr = (w0 * sigma**2 / (sigma**2 + resid**2))[:, None, None]
             M = (
                 jax.ops.segment_sum(wr * pred_j, ej_j, num_segments=V)
@@ -168,7 +180,9 @@ def rotation_averaging(ei, ej, R_rel, w, V, iters: int | None = None):
             Rn = jnp.where(deg[:, None, None], Rn, R)
             return Rn, None
 
-        R, _ = jax.lax.scan(step, R, None, length=iters)
+        R, _ = jax.lax.scan(
+            step, R, jnp.arange(iters, dtype=jnp.float32), length=iters
+        )
         # gauge: camera 0 (or the first connected camera) = identity
         return jnp.einsum("vab,cb->vac", R, R[0])
 
@@ -268,6 +282,10 @@ def build_tracks(pipeline, max_tracks: int):
         return root
 
     for (i, j), m in pipeline.matches.items():
+        if m.get("aux"):
+            continue  # pose-graph-only long-span edges (pipeline
+            # _rematch_long_span): their recovered keypoints are too noisy
+            # for triangulated tracks
         na = base[i] + np.asarray(m["idx1"], np.int64)
         nb = base[j] + np.asarray(m["idx2"], np.int64)
         for a, b in zip(na.tolist(), nb.tolist()):

@@ -452,7 +452,8 @@ class SfMPipeline:
             if self.neural_mode:
                 hw = self.image_set.gray.shape[1:3]
                 results = self.matcher.match_pairs_batched(
-                    self.features, pairs, self._next_key(), hw=hw
+                    self.features, pairs, self._next_key(), hw=hw,
+                    mesh=self.mesh,
                 )
             else:
                 from recon3d_tpu.features.frontend import match_pairs_batched
@@ -473,6 +474,11 @@ class SfMPipeline:
                         n=len(idx1),
                     )
                     kept += 1
+            if (
+                self.config.match.long_span_rematch
+                and not self.neural_mode
+            ):
+                kept += self._rematch_long_span(pairs)
         print(f"[sfm] matched {kept}/{len(pairs)} pairs "
               f"({time.time() - t0:.1f}s)")
         self._bridge_components(n)
@@ -480,12 +486,158 @@ class SfMPipeline:
         self.stats["match_time"] = time.time() - t0
         self.stats["num_pairs"] = kept
 
+    def _rematch_long_span(self, pairs) -> int:
+        """Selective high-res re-matching of FAILED long-span probe pairs.
+
+        On window-limited capture arcs the long-range edges are what anchor
+        the global shape (the 300-view scenario bent ~10 deg without them,
+        docs/global_sfm.md); at load resolution those pairs mostly fail.
+        One 2x-upsampled SIFT pass over just the failed pairs' images adds
+        a -1 octave of finer scales; recovered keypoints are appended to
+        the per-image tables (scaled back to load-resolution pixels) so
+        every downstream stage indexes them like any other keypoint, and
+        the pair F is conjugated back to load-resolution coordinates.
+        Returns the number of pairs recovered."""
+        w = self.config.sfm.match_window
+        failed = [
+            (i, j) for (i, j) in pairs
+            if j - i >= 2 * w and (i, j) not in self.matches
+        ]
+        if not failed:
+            return 0
+        import jax.image as jimage
+
+        from recon3d_tpu.features.frontend import (
+            FeatureExtractor, match_pairs_batched,
+        )
+
+        s = float(self.config.match.rematch_scale)
+        imgs = sorted({i for p in failed for i in p})
+        local = {g: l for l, g in enumerate(imgs)}
+        gray = self.image_set.gray[imgs]
+        H, W = gray.shape[1:]
+        up = jimage.resize(
+            jnp.asarray(gray), (len(imgs), int(H * s), int(W * s)),
+            method="linear",
+        )
+        feats = FeatureExtractor(self.config.sift).extract_batch(up)
+        res = match_pairs_batched(
+            feats, [(local[i], local[j]) for (i, j) in failed],
+            self._next_key(), self.config.match, mesh=self.mesh,
+        )
+        xy_up = np.asarray(feats.xy)       # upscaled-pixel coords
+        # resize uses half-pixel centers: x_up = s*x + (s-1)/2
+        xy_load = (xy_up - (s - 1.0) / 2.0) / s
+        # conjugate F back to load coords: F_load = S^T F_up S
+        S = np.array(
+            [[s, 0.0, (s - 1.0) / 2.0],
+             [0.0, s, (s - 1.0) / 2.0],
+             [0.0, 0.0, 1.0]], np.float32,
+        )
+        offset = {}
+        recovered = 0
+        degenerate = 0
+        mm = self.config.match.min_matches
+        from recon3d_tpu.ops.estimation import estimate_homography_ransac
+
+        for r, (i, j) in enumerate(failed):
+            (_, _, idx1, idx2, F, n_inl, n_raw) = res[r]
+            if n_raw < mm or n_inl < mm:
+                continue
+            # H/F degeneracy gate (COLMAP mapper policy): a single
+            # homography explaining >= 80% of the F-inliers means the pair
+            # carries no parallax signal — on self-similar texture the 2x
+            # re-match happily "verifies" FALSE wide-baseline pairs whose
+            # implied relative rotation is tens of degrees wrong (measured:
+            # span>=129 probes, ~32 deg median error); those matches are
+            # plane-to-plane and H-consistent, genuine wide-baseline pairs
+            # of a 3D scene are not.
+            cap2 = _pad_pow2(len(idx1), lo=64)
+            ha = np.zeros((cap2, 2), np.float32)
+            hb = np.zeros((cap2, 2), np.float32)
+            hm = np.zeros(cap2, np.float32)
+            ha[: len(idx1)] = xy_up[local[i]][idx1]
+            hb[: len(idx2)] = xy_up[local[j]][idx2]
+            hm[: len(idx1)] = 1.0
+            hres = estimate_homography_ransac(
+                self._next_key(), jnp.asarray(ha), jnp.asarray(hb),
+                jnp.asarray(hm),
+                threshold_px=self.config.match.ransac_threshold_px * s,
+            )
+            if int(hres.num_inliers) >= 0.8 * n_inl:
+                degenerate += 1
+                continue
+            # Essential-compatibility gate: with K known, a geometrically
+            # valid pair's F is (nearly) K^T-conjugate to an essential
+            # matrix; project E = K^T F K to equal singular values and
+            # require the inlier set to survive the projection. Random
+            # texture correspondences that some 7-DoF F happens to fit are
+            # not E-compatible and shed their "inliers" here. (Host numpy:
+            # a 3x3 SVD + Sampson over <= a few hundred matches.)
+            F_load = S.T @ F @ S
+            Kn = np.asarray(self.camera.K, np.float64)
+            E = Kn.T @ F_load @ Kn
+            U, _, Vt = np.linalg.svd(E)
+            F_e = np.linalg.inv(Kn).T @ (
+                U @ np.diag([1.0, 1.0, 0.0]) @ Vt
+            ) @ np.linalg.inv(Kn)
+            a1 = np.concatenate(
+                [xy_load[local[i]][idx1], np.ones((len(idx1), 1))], axis=1
+            )
+            b1 = np.concatenate(
+                [xy_load[local[j]][idx2], np.ones((len(idx2), 1))], axis=1
+            )
+            Fx = a1 @ F_e.T
+            Ftx = b1 @ F_e
+            num = np.abs(np.sum(b1 * Fx, axis=1))
+            den = np.sqrt(
+                Fx[:, 0] ** 2 + Fx[:, 1] ** 2
+                + Ftx[:, 0] ** 2 + Ftx[:, 1] ** 2
+            )
+            samp = num / np.maximum(den, 1e-12)
+            thr = self.config.match.ransac_threshold_px
+            if (samp < thr).sum() < max(mm, 0.7 * n_inl):
+                degenerate += 1
+                continue
+            for g in (i, j):
+                if g not in offset:
+                    offset[g] = len(self.kp_xy[g])
+                    self.kp_xy[g] = np.concatenate(
+                        [self.kp_xy[g], xy_load[local[g]]]
+                    )
+                    self.kp_to_point[g] = np.concatenate([
+                        self.kp_to_point[g],
+                        np.full(xy_load.shape[1], -1, np.int64),
+                    ])
+            # aux=True: pose-graph-only edge. Recovered keypoints carry ~2x
+            # the localization noise of load-resolution ones (measured on
+            # the 300-view arc: letting them into tracks/BA moved reproj
+            # 0.78 -> 1.03 px and consecutive rel-rot 1.35 -> 1.77 deg);
+            # as averaging-graph edges they anchor the global shape, which
+            # is the thing long spans are uniquely good for.
+            self.matches[(i, j)] = dict(
+                idx1=idx1 + offset[i],
+                idx2=idx2 + offset[j],
+                F=S.T @ F @ S,
+                n=len(idx1),
+                aux=True,
+            )
+            recovered += 1
+        if recovered or degenerate:
+            self._kp_cache = None
+            print(f"[sfm] long-span rematch: {recovered}/{len(failed)} "
+                  f"failed probe pairs recovered at {s:.0f}x "
+                  f"({degenerate} rejected as H-degenerate)")
+        return recovered
+
     def _build_kp_links(self):
         """Per-camera reverse match index: kp -> [(partner image, partner
         kp)] over every kept match, powering the incremental correspondence
         propagation in _note_kp_link."""
         links: Dict[int, Dict[int, List[Tuple[int, int]]]] = {}
         for (a, b), m in self.matches.items():
+            if m.get("aux"):
+                continue  # pose-graph-only edges (see _rematch_long_span)
             la = links.setdefault(a, {})
             lb = links.setdefault(b, {})
             for ka, kb in zip(m["idx1"].tolist(), m["idx2"].tolist()):
@@ -552,13 +704,37 @@ class SfMPipeline:
         """Score candidate init pairs by inliers x parallax gate
         (reference :331-433: parallax in [1.5, 40] deg, boost [3, 20])."""
         cfg = self.config.sfm
-        ranked = sorted(self.matches.items(), key=lambda kv: -kv[1]["n"])[:10]
-        if not ranked:
+        # Parallax-diverse candidate slate: pure top-by-match-count fills
+        # the batch with ADJACENT pairs on dense capture arcs, whose median
+        # parallax all sits below the 1.5-deg init gate ("no valid initial
+        # pair" on the 50-view north-star: every adjacent pair measured
+        # 1.3-1.45 deg). Match count correlates with small baseline, so the
+        # slate must also cover longer spans: half the batch is the global
+        # top by count, the other half the best-matched pair PER SPAN for
+        # increasing spans (the reference scans every pair sequentially,
+        # :331-433; this keeps the one-dispatch batch while restoring its
+        # coverage).
+        by_count = sorted(
+            (kv for kv in self.matches.items() if not kv[1].get("aux")),
+            key=lambda kv: -kv[1]["n"],
+        )
+        if not by_count:
             return None
+        B = 10
+        best_per_span: Dict[int, Tuple] = {}
+        for (i, j), m in by_count:
+            best_per_span.setdefault(j - i, ((i, j), m))
+        spans = sorted(best_per_span)
+        ranked, seen = [], set()
+        for kv in [best_per_span[s] for s in spans[: B // 2]] + by_count:
+            if kv[0] not in seen:
+                seen.add(kv[0])
+                ranked.append(kv)
+            if len(ranked) == B:
+                break
         K = self.camera.K
         # fixed batch of 10 (pad with identity-F zero-mask rows) — one
         # compiled program regardless of how many candidates exist
-        B = 10
         cap = _pad_pow2(max(len(m["idx1"]) for _, m in ranked))
         Fs = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
         Fs[: len(ranked)] = np.stack([m["F"] for _, m in ranked])
@@ -840,7 +1016,7 @@ class SfMPipeline:
         has a 3D point."""
         cfg = self.config.sfm
         key = (i, j) if (i, j) in self.matches else (j, i)
-        if key not in self.matches:
+        if key not in self.matches or self.matches[key].get("aux"):
             return 0
         m = self.matches[key]
         a, b = key
@@ -937,7 +1113,7 @@ class SfMPipeline:
                 if j == i:
                     continue
                 key = (i, j) if (i, j) in self.matches else (j, i)
-                if key in self.matches:
+                if key in self.matches and not self.matches[key].get("aux"):
                     keys_set.add(key)
         partners = sorted(keys_set)
         if not partners:

@@ -176,13 +176,12 @@ def profile_pnp_wave(report: dict):
         xh = jnp.concatenate([xi, jnp.ones_like(xi[:, :1])], axis=1)
         xn = (Kinv @ xh.T).T[:, :2]
         idx = sample_indices(key, vi, 2048, 6)
-        models = jax.vmap(
-            lambda i: jnp.concatenate(
-                [jnp.stack(pnp_dlt(Xi[i], xn[i], jnp.ones(6), fast=True))[0]
-                 .reshape(9),
-                 pnp_dlt(Xi[i], xn[i], jnp.ones(6), fast=True)[1]]
-            )
-        )(idx)
+
+        def solve_one(i):
+            R, t = pnp_dlt(Xi[i], xn[i], jnp.ones(6), fast=True)
+            return jnp.concatenate([R.reshape(9), t])
+
+        models = jax.vmap(solve_one)(idx)
         return project_residuals_batch(K, models, Xi, xi)
 
     @jax.jit
@@ -244,6 +243,31 @@ def profile_ba_prep(report: dict):
         )
         print(f"rep {rep}: {stats_list[-1]}")
     report["ba_prep_idle"] = stats_list
+
+    # The log path the pipeline actually uses single-device: cold upload,
+    # then tail-only appends (the incremental-loop shape).
+    from recon3d_tpu.sfm.bundle import bundle_adjust_log
+
+    kp_off = np.zeros(nC + 1, np.int64)
+    np.cumsum([len(k) for k in kp_xy], out=kp_off[1:])
+    kp_table = (np.concatenate(kp_xy), kp_off)
+    log = np.asarray(
+        [(p, c, k) for p, obs in enumerate(observations) for (c, k) in obs],
+        np.int32,
+    )
+    cache = {}
+    log_stats = []
+    for rep, upto in enumerate((len(log) - 2048, len(log) - 1024, len(log))):
+        _, _, stats = bundle_adjust_log(
+            K, poses, points, log[:upto], kp_table, cfg,
+            max_iterations=2, device_cache=cache,
+        )
+        log_stats.append(
+            {"prep_s": round(stats.get("prep_s", 0), 3),
+             "solve_s": round(stats.get("solve_fetch_s", 0), 3)}
+        )
+        print(f"log rep {rep} (O={upto}): {log_stats[-1]}")
+    report["ba_log_idle"] = log_stats
 
 
 def main(argv=None):

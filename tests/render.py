@@ -94,6 +94,7 @@ def render_views(
     arc_step: float = 0.12,
     arc_offset: float = 0.0,
     dist: np.ndarray | None = None,
+    roll_step: float = 0.0,
 ):
     """Render n_views images of the box-corner scene from an arc of cameras.
 
@@ -126,6 +127,17 @@ def render_views(
         x /= np.linalg.norm(x)
         y = np.cross(z, x)
         R = np.stack([x, y, z], axis=0)
+        if roll_step:
+            # in-plane camera roll about the optical axis: view i rolls by
+            # i * roll_step radians (stresses orientation invariance of the
+            # feature frontend — handheld/drone-style captures)
+            a = i * roll_step
+            Rr = np.array([
+                [np.cos(a), -np.sin(a), 0.0],
+                [np.sin(a), np.cos(a), 0.0],
+                [0.0, 0.0, 1.0],
+            ])
+            R = Rr @ R
         t = -R @ C
         Rs.append(R.astype(np.float32))
         ts.append(t.astype(np.float32))

@@ -177,3 +177,46 @@ def test_se3_exp_log_roundtrip():
     R, t = se3_exp(xi)
     xi2 = se3_log(R, t)
     np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi), atol=1e-4)
+
+
+def test_homography_ransac_planar_vs_parallax(rng):
+    """The H/F degeneracy gate's primitive: a planar (or false self-similar)
+    pair is explained by one homography; a genuine 3D wide-baseline pair is
+    not (pipeline._rematch_long_span's rejection rule)."""
+    import jax
+
+    from recon3d_tpu.ops.estimation import estimate_homography_ransac
+
+    n = 128
+    K = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]], np.float32)
+    R = np.array([[0.9689, 0, 0.2474], [0, 1, 0], [-0.2474, 0, 0.9689]])
+    t = np.array([0.8, 0.1, 0.2])
+
+    def project(X, Rm, tm):
+        Xc = X @ Rm.T + tm
+        return (Xc[:, :2] / Xc[:, 2:]) @ K[:2, :2].T + K[:2, 2]
+
+    # planar scene: all points on z=4 plane -> H explains everything
+    Xp = np.concatenate(
+        [rng.uniform(-2, 2, size=(n, 2)), np.full((n, 1), 4.0)], axis=1
+    )
+    x1 = project(Xp, np.eye(3), np.zeros(3)) + rng.normal(scale=0.3, size=(n, 2))
+    x2 = project(Xp, R, t) + rng.normal(scale=0.3, size=(n, 2))
+    res_planar = estimate_homography_ransac(
+        jax.random.PRNGKey(0), jnp.asarray(x1, jnp.float32),
+        jnp.asarray(x2, jnp.float32), jnp.ones(n), threshold_px=3.0,
+    )
+    assert int(res_planar.num_inliers) > 0.9 * n
+
+    # genuine 3D scene: depth spread -> one H cannot explain the matches
+    X3 = np.concatenate(
+        [rng.uniform(-2, 2, size=(n, 2)),
+         rng.uniform(2.5, 8.0, size=(n, 1))], axis=1
+    )
+    x1 = project(X3, np.eye(3), np.zeros(3)) + rng.normal(scale=0.3, size=(n, 2))
+    x2 = project(X3, R, t) + rng.normal(scale=0.3, size=(n, 2))
+    res_3d = estimate_homography_ransac(
+        jax.random.PRNGKey(0), jnp.asarray(x1, jnp.float32),
+        jnp.asarray(x2, jnp.float32), jnp.ones(n), threshold_px=3.0,
+    )
+    assert int(res_3d.num_inliers) < 0.5 * n, int(res_3d.num_inliers)

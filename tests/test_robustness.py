@@ -145,7 +145,11 @@ def test_global_sfm_300_views():
     assert len(poses) >= int(0.95 * n), f"registered {len(poses)}/{n}"
     assert len(points) > 350
     assert pipe.stats["mean_reproj_px"] < 1.2
-    assert _median_rel_rot_err(poses, scene["Rs"]) < 1.5
+    # Gate tightened 1.5 -> 1.45 after the round-4 estimator work (GNC
+    # annealing in rotation averaging + gated long-span rematch): measured
+    # 1.24-1.40 deg across runs vs the 1.14 deg GT-anchored floor
+    # (docs/global_sfm.md round-4 section).
+    assert _median_rel_rot_err(poses, scene["Rs"]) < 1.45
 
 
 def test_calibration_on_degraded_boards():
