@@ -69,10 +69,13 @@ class NeuralConfig:
     lightglue_layers: int = 9
     descriptor_dim: int = 256
     # Matcher backend: "lightglue" (attention GNN), "nn" (mutual-NN + ratio
-    # on SuperPoint descriptors), or "auto" = lightglue when trained weights
-    # were supplied, else nn. A random-init LightGlue produces noise, while
-    # descriptor NN matching works with the bundled synthetic-pretrained
-    # SuperPoint — so the neural path functions without any downloads.
+    # on SuperPoint descriptors), or "auto" = lightglue only when EXPLICIT
+    # lightglue_weights were supplied (converted published checkpoints),
+    # else nn. The bundled in-repo synthetic LightGlue measurably
+    # under-recalls the NN fallback on photographic texture (46-vs-79
+    # correct matches; the round-4 view-pair retrain regressed further to
+    # 26 — docs/neural_quality.md), so auto picks the stronger backend;
+    # matcher="lightglue" opts into the bundled checkpoint explicitly.
     matcher: str = "auto"
     nn_ratio: float = 0.95
     # Assignment-score gate for LightGlue match extraction. The official

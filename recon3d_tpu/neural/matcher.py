@@ -55,15 +55,19 @@ class NeuralMatcher:
         self._lg_params = None
         self._extract_jit: Dict[Tuple[int, int], callable] = {}
         self._match_jit: Dict[Tuple[int, int], callable] = {}
-        # "auto": LightGlue only when trained weights are available —
-        # explicit torch weights or the bundled synthetic checkpoint.
+        # "auto": LightGlue only when EXPLICIT trained weights were supplied
+        # (converted published checkpoints via neural/weights.py). The
+        # bundled in-repo synthetic checkpoint measurably UNDER-recalls its
+        # own mutual-NN fallback on photographic texture (46 vs 79 correct
+        # matches; a round-4 retrain on true 3D view pairs made it worse,
+        # 26 — docs/neural_quality.md), so auto resolves to the stronger
+        # backend; matcher="lightglue" still opts into the bundled
+        # checkpoint explicitly.
         m = self.config.matcher
         self._bundled_lg = os.path.join(
             os.path.dirname(__file__), "pretrained", "lightglue_synthetic.npz"
         )
-        has_lg = bool(self.config.lightglue_weights) or os.path.exists(
-            self._bundled_lg
-        )
+        has_lg = bool(self.config.lightglue_weights)
         self.matcher_kind = (
             m if m in ("lightglue", "nn") else ("lightglue" if has_lg else "nn")
         )
