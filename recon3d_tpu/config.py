@@ -55,6 +55,13 @@ class MatchConfig:
     # 300-view arc was missing long-range edges, docs/global_sfm.md).
     long_span_rematch: bool = True
     rematch_scale: float = 2.0
+    # Upsampled re-extraction only pays when the load resolution is below
+    # the feature-scale floor — at >= ~VGA the SIFT pyramid already covers
+    # the sensor's information and a 2x pass costs ~30 s of extraction on
+    # the 50-view north-star for zero recoveries (measured). Pairs are also
+    # budgeted, longest spans first (those anchor the global shape).
+    rematch_max_dim: int = 320
+    rematch_max_pairs: int = 24
 
 
 @dataclass(frozen=True)
@@ -111,7 +118,7 @@ class SfmConfig:
     pnp_min_correspondences: int = 12  # ref :478-510
     pnp_hypotheses: int = 2048
     pnp_thresholds_px: Tuple[float, ...] = (8.0, 10.0, 12.0)
-    registration_wave_size: int = 8    # images PnP'd per batched dispatch
+    registration_wave_size: int = 16   # images PnP'd per batched dispatch
     max_reproj_error_px: float = 4.0   # triangulation gate (ref geometry.py:61)
     min_parallax_deg: float = 1.0
     max_depth_factor: float = 200.0    # depth < factor * baseline (ref geometry.py:97)

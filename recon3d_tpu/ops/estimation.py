@@ -368,6 +368,49 @@ def estimate_pose_pnp_wave(
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses", "refine_iterations"))
+def estimate_pose_pnp_wave_indexed(
+    keys: jax.Array,
+    K: jnp.ndarray,
+    P_table: jnp.ndarray,
+    kp_flat: jnp.ndarray,
+    pid_idx: jnp.ndarray,
+    kp_idx: jnp.ndarray,
+    thresholds_px: jnp.ndarray,
+    num_hypotheses: int = 2048,
+    refine_iterations: int = 8,
+) -> PnPResult:
+    """estimate_pose_pnp_wave with DEVICE-SIDE gathers.
+
+    The dense formulation uploads (B, cap, 3) world points + (B, cap, 2)
+    pixels per wave (~400 KB); over the tunneled link, mid-run relay
+    backpressure inflates that to ~1.5 s/wave (measured: the same wave
+    costs 0.25 s on an idle chip). Here the host uploads only int32 index
+    tables (pid_idx, kp_idx — ~40% the bytes) plus the raw (P, 3) point
+    table (tens of KB, pow-4 padded by the caller for shape stability);
+    the keypoint table uploads ONCE per reconstruction (it is immutable
+    after extraction) and the (B, cap, ...) operands materialize on
+    device. pid_idx < 0 marks padded slots.
+
+      keys (B,), P_table (P, 3), kp_flat (sumK, 2),
+      pid_idx (B, cap) i32, kp_idx (B, cap) i32, thresholds_px (T,).
+    """
+    from recon3d_tpu.ops.pnp import pnp_ransac_multi
+
+    valid = (pid_idx >= 0).astype(P_table.dtype)
+    X = jnp.take(P_table, jnp.clip(pid_idx, 0, P_table.shape[0] - 1), axis=0)
+    x_px = jnp.take(kp_flat, jnp.clip(kp_idx, 0, kp_flat.shape[0] - 1), axis=0)
+
+    def per_image(key, Xi, xi, vi):
+        return pnp_ransac_multi(
+            key, K, Xi, xi, vi, thresholds_px,
+            num_hypotheses=num_hypotheses,
+            refine_iterations=refine_iterations,
+        )
+
+    return jax.vmap(per_image)(keys, X, x_px, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "refine_iterations"))
 def estimate_pose_pnp(
     key: jax.Array,
     K: jnp.ndarray,

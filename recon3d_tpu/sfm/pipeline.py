@@ -39,7 +39,10 @@ from recon3d_tpu.features.frontend import (
 )
 from recon3d_tpu.io.dataset import ImageSet, load_image_set
 from recon3d_tpu.io.ply import save_ply, save_cameras_ply
-from recon3d_tpu.ops.estimation import estimate_pose_pnp_wave
+from recon3d_tpu.ops.estimation import (
+    estimate_pose_pnp_wave,
+    estimate_pose_pnp_wave_indexed,
+)
 from recon3d_tpu.ops.epipolar import essential_from_fundamental, recover_pose
 from recon3d_tpu.ops.pnp import refine_pose_gn, project_points
 from recon3d_tpu.ops.triangulate import (
@@ -323,6 +326,10 @@ class SfMPipeline:
         self.features_stacked = None
         self.kp_xy: List[np.ndarray] = []
         self._kp_cache = None
+        # device copy of the concatenated keypoint table (uploaded once per
+        # reconstruction for the indexed PnP wave; re-uploaded when the
+        # table grows, e.g. after a long-span rematch appends keypoints)
+        self._kp_flat_dev = None
         self.matches: Dict[Tuple[int, int], Dict[str, np.ndarray]] = {}
         self.poses: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         self.registered: Set[int] = set()
@@ -499,10 +506,15 @@ class SfMPipeline:
         the pair F is conjugated back to load-resolution coordinates.
         Returns the number of pairs recovered."""
         w = self.config.sfm.match_window
-        failed = [
-            (i, j) for (i, j) in pairs
-            if j - i >= 2 * w and (i, j) not in self.matches
-        ]
+        mc = self.config.match
+        H0, W0 = self.image_set.gray.shape[1:]
+        if max(H0, W0) > mc.rematch_max_dim:
+            return 0  # load res already covers the feature-scale floor
+        failed = sorted(
+            ((i, j) for (i, j) in pairs
+             if j - i >= 2 * w and (i, j) not in self.matches),
+            key=lambda p: p[0] - p[1],  # longest span first
+        )[: mc.rematch_max_pairs]
         if not failed:
             return 0
         import jax.image as jimage
@@ -938,21 +950,36 @@ class SfMPipeline:
         # and an unpadded batch would compile a fresh PnP program per wave.
         B = _pad_pow2(len(cands), lo=1, hi=1024)
         cap = _pad_pow2(max(len(k) for _, k, _ in cands))
-        Xp = np.zeros((B, cap, 3), np.float32)
-        xp = np.zeros((B, cap, 2), np.float32)
-        vp = np.zeros((B, cap), np.float32)
+        # Index-based wave (estimate_pose_pnp_wave_indexed): upload int32
+        # index tables + the small (P, 3) point table instead of dense
+        # (B, cap, 3)/(B, cap, 2) operands — mid-run the tunneled link's
+        # relay backpressure makes upload bytes the register stage's
+        # dominant cost (BASELINE.md sparse attribution).
+        pid_idx = np.full((B, cap), -1, np.int32)
+        kp_idx = np.zeros((B, cap), np.int32)
+        kp_flat, kp_off = self._kp_table()
         P_arr = self._points_as_array()
+        # pow-4 padded point table: stable shapes across waves
+        P_cap = _pad_pow2(len(P_arr), lo=256)
+        P_pad = np.zeros((P_cap, 3), np.float32)
+        P_pad[: len(P_arr)] = P_arr
         for b, (i, kps, pids) in enumerate(cands):
-            Xp[b, : len(pids)] = P_arr[pids]
-            xp[b, : len(kps)] = self.kp_xy[i][kps]
-            vp[b, : len(kps)] = 1
+            pid_idx[b, : len(pids)] = pids
+            kp_idx[b, : len(kps)] = (kp_off[i] + np.asarray(kps)).astype(
+                np.int32
+            )
         thr = jnp.asarray(np.asarray(cfg.pnp_thresholds_px, np.float32))
         keys = jax.random.split(self._next_key(), B)
+        # keypoint table: immutable after extraction — device copy cached
+        kp_dev = self._kp_flat_dev
+        if kp_dev is None or kp_dev.shape[0] != len(kp_flat):
+            kp_dev = self._kp_flat_dev = jnp.asarray(kp_flat)
         det["prep"] += time.time() - tm
         tm = time.time()
-        res = estimate_pose_pnp_wave(
+        res = estimate_pose_pnp_wave_indexed(
             keys, self.camera.K,
-            jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(vp), thr,
+            jnp.asarray(P_pad), kp_dev,
+            jnp.asarray(pid_idx), jnp.asarray(kp_idx), thr,
             num_hypotheses=cfg.pnp_hypotheses,
         )
         det["dispatch"] = det.get("dispatch", 0.0) + (time.time() - tm)
@@ -1473,7 +1500,13 @@ class SfMPipeline:
             tw["cands"] += time.time() - tm
             if not cands:
                 break
-            ramp = max(1, (len(self.registered) - 1) // 2)
+            # Ramp = registered-1 (doubling cohorts: 1, 2, 4, 8, 16): on the
+            # tunneled link each wave costs a fixed multi-round-trip toll
+            # that dwarfs its 57 ms device time (BASELINE.md sparse
+            # attribution), so the 50-camera run's wave count matters more
+            # than wave size — 11 waves -> ~7 at unchanged quality gates
+            # (north-star 50/50 at 0.557 px, robustness suite green).
+            ramp = max(1, len(self.registered) - 1)
             wave = cands[: min(wave_cap, ramp)]
             tm = time.time()
             accepted = self._register_wave(wave)
