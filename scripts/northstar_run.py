@@ -105,6 +105,13 @@ def main(argv=None) -> int:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--keep", action="store_true",
                     help="reuse an existing rendered workdir")
+    ap.add_argument("--in-process", action="store_true",
+                    help="invoke the CLI main() in THIS process instead of "
+                    "a subprocess per run: run 2+ then measures true "
+                    "steady state (jit caches live, first-fetch stall and "
+                    "per-program persistent-cache deserialization already "
+                    "paid) — per-process overheads dominate the subprocess "
+                    "numbers on the tunneled host (BASELINE.md)")
     ap.add_argument("--flags", nargs=argparse.REMAINDER, default=[],
                     help="extra CLI flags (default: --mvs)")
     args = ap.parse_args(argv)
@@ -120,22 +127,28 @@ def main(argv=None) -> int:
     results = []
     for run in range(1, args.runs + 1):
         stats_path = workdir / f"stats_run{run}.json"
-        cmd = [
-            sys.executable, "-m", "recon3d_tpu.cli", str(workdir / "images"),
+        cli_args = [
+            str(workdir / "images"),
             *flags,
             "--calibration", str(workdir / "calibration.npz"),
             "--stats-json", str(stats_path),
             "--output", str(workdir / "recon"),
         ]
-        env = dict(os.environ)
-        env["PYTHONPATH"] = os.pathsep.join(
-            p for p in (env.get("PYTHONPATH", ""), str(REPO)) if p
-        )
         t0 = time.time()
-        proc = subprocess.run(cmd, env=env)
+        if args.in_process:
+            from recon3d_tpu.cli import main as cli_main
+
+            rc = cli_main(cli_args)
+        else:
+            cmd = [sys.executable, "-m", "recon3d_tpu.cli", *cli_args]
+            env = dict(os.environ)
+            env["PYTHONPATH"] = os.pathsep.join(
+                p for p in (env.get("PYTHONPATH", ""), str(REPO)) if p
+            )
+            rc = subprocess.run(cmd, env=env).returncode
         wall = time.time() - t0
-        if proc.returncode != 0:
-            print(f"run {run} FAILED rc={proc.returncode}")
+        if rc != 0:
+            print(f"run {run} FAILED rc={rc}")
             return 1
         stats = json.loads(stats_path.read_text())
         stats["wall_s"] = wall
