@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 
 from recon3d_tpu.config import SiftConfig, MatchConfig
-from recon3d_tpu.ops.sift import extract_sift, SiftFeatures
+from recon3d_tpu.ops.sift import (
+    describe_sift,
+    detect_sift,
+    extract_sift,
+    SiftFeatures,
+)
 from recon3d_tpu.ops.clahe import clahe
 from recon3d_tpu.ops.match import match_descriptors, MatchResult
 from recon3d_tpu.ops.estimation import estimate_fundamental_ransac
@@ -66,15 +71,53 @@ class FeatureExtractor:
         img = jnp.asarray(image, jnp.float32)
         return self._get_fn(img.shape)(img)
 
-    def _get_batch_fn(self, shape: Tuple[int, int, int]):
-        key = ("batch",) + shape
+    def _preproc(self, img):
+        cfg = self.config
+        if cfg.clahe:
+            h, w = img.shape
+            g = cfg.clahe_grid
+            hh, ww = (h // g) * g, (w // g) * g
+            eq = clahe(img[:hh, :ww], cfg.clahe_clip, g)
+            img = jax.lax.dynamic_update_slice(img, eq, (0, 0))
+        return img
+
+    def _get_detect_fn(self, shape: Tuple[int, int, int]):
+        key = ("detect",) + shape
         if key not in self._jitted:
-            single = self._get_fn(shape[1:])
+            cfg = self.config
 
             def fn(imgs_u8):
-                return jax.vmap(
-                    lambda im: single(im.astype(jnp.float32) / 255.0)
-                )(imgs_u8)
+                def one(im):
+                    return detect_sift(
+                        self._preproc(im.astype(jnp.float32) / 255.0),
+                        max_features=cfg.max_features,
+                        num_octaves=cfg.num_octaves,
+                        scales=cfg.scales_per_octave,
+                        sigma0=cfg.sigma,
+                        contrast_threshold=cfg.contrast_threshold,
+                        edge_threshold=cfg.edge_threshold,
+                    )
+
+                return jax.vmap(one)(imgs_u8)
+
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    def _get_describe_fn(self, shape, caps_sel: Tuple[int, ...]):
+        key = ("describe",) + shape + caps_sel
+        if key not in self._jitted:
+            cfg = self.config
+
+            def fn(pyramid, dets):
+                def one(pyr_i, dets_i):
+                    return describe_sift(
+                        pyr_i, dets_i, caps_sel,
+                        scales=cfg.scales_per_octave,
+                        descriptor_max_value=cfg.descriptor_max_value,
+                        multi_orientation=cfg.multi_orientation,
+                    )
+
+                return jax.vmap(one)(pyramid, dets)
 
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
@@ -83,6 +126,14 @@ class FeatureExtractor:
         """Batched extraction: (V, H, W) float32 [0,1] -> ONE stacked
         SiftFeatures whose arrays have a leading view axis (V, ...).
 
+        TWO-PHASE: detection runs at the worst-case candidate capacity
+        (max_features slots), then the host fetches only the per-octave
+        valid COUNTS and describes at pow-2-bucketed selection capacities
+        covering the whole batch. Orientation/descriptor cost is
+        proportional to slots, not keypoints, so typical scenes (a few
+        hundred keypoints against an 8k budget) describe ~10x fewer slots
+        (measured 5.3 s -> 2.0 s for 50 images, identical keypoints).
+
         Images ship as uint8 and chunks of `chunk` run as one vmapped device
         program; chunk outputs concatenate on device. Returning per-image
         slices instead would issue hundreds of tiny slice dispatches — fatal
@@ -90,7 +141,8 @@ class FeatureExtractor:
         single image's view."""
         V = images.shape[0]
         u8 = np.clip(images * 255.0, 0, 255).astype(np.uint8)
-        chunks = []
+        det_chunks = []
+        cnt_dev = []
         for c0 in range(0, V, chunk):
             batch = u8[c0 : c0 + chunk]
             nb = batch.shape[0]
@@ -98,8 +150,32 @@ class FeatureExtractor:
                 batch = np.concatenate(
                     [batch, np.repeat(batch[-1:], chunk - nb, axis=0)]
                 )
-            feats = self._get_batch_fn(batch.shape)(jnp.asarray(batch))
-            if nb < chunk:
+            pyr, dets, cnt = self._get_detect_fn(batch.shape)(
+                jnp.asarray(batch)
+            )
+            det_chunks.append((batch.shape, pyr, dets, nb))
+            cnt_dev.append((cnt, nb))
+        # fetch counts only after EVERY chunk has dispatched: a fetch inside
+        # the loop would serialize the chunks' device work on the sync
+        counts = np.concatenate(
+            [np.asarray(c)[:nb] for c, nb in cnt_dev], axis=0
+        )  # (V, O)
+        caps_det = tuple(
+            int(d["valid"].shape[-1]) for d in det_chunks[0][2]
+        )
+        # pow-2 buckets with 25% headroom, clipped to the detection caps;
+        # one caps_sel for the WHOLE batch so chunk outputs share a
+        # capacity and concatenate
+        caps_sel = tuple(
+            min(cap, max(128, 1 << int(np.ceil(np.log2(
+                max(counts[:, o].max(), 1) * 1.25 + 16
+            )))))
+            for o, cap in enumerate(caps_det)
+        )
+        chunks = []
+        for shape, pyr, dets, nb in det_chunks:
+            feats = self._get_describe_fn(shape, caps_sel)(pyr, dets)
+            if nb < shape[0]:
                 feats = jax.tree.map(lambda a: a[:nb], feats)
             chunks.append(feats)
         if len(chunks) == 1:

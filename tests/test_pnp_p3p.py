@@ -232,3 +232,57 @@ def test_epnp_wins_on_planar(rng):
     # this test guards nothing)
     assert wins_ep >= 9, (wins_ep, wins_dlt)
     assert wins_dlt <= wins_ep - 3, (wins_ep, wins_dlt)
+
+
+def test_pnp_wave_indexed_matches_dense(rng):
+    """estimate_pose_pnp_wave_indexed (device-side gathers from index
+    tables) must reproduce estimate_pose_pnp_wave (dense operands) exactly
+    — same keys, same hypothesis pool, same acceptance surface."""
+    from recon3d_tpu.ops.estimation import (
+        estimate_pose_pnp_wave, estimate_pose_pnp_wave_indexed,
+    )
+
+    B, cap, P = 4, 256, 512
+    K = jnp.asarray([[300.0, 0, 160], [0, 300, 120], [0, 0, 1]], jnp.float32)
+    P_table = jnp.asarray(
+        np.concatenate(
+            [rng.normal(size=(P, 2)), rng.uniform(3, 8, size=(P, 1))], axis=1
+        ).astype(np.float32)
+    )
+    kp_flat = jnp.asarray(
+        rng.uniform(0, 320, size=(P * 2, 2)).astype(np.float32)
+    )
+    pid_idx = np.full((B, cap), -1, np.int32)
+    kp_idx = np.zeros((B, cap), np.int32)
+    counts = [60, 120, 200, 256]
+    for b in range(B):
+        n = counts[b]
+        pid_idx[b, :n] = rng.choice(P, size=n, replace=False)
+        kp_idx[b, :n] = rng.choice(P * 2, size=n, replace=False)
+    thr = jnp.asarray([4.0, 8.0], jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(9), B)
+
+    res_i = estimate_pose_pnp_wave_indexed(
+        keys, K, P_table, kp_flat,
+        jnp.asarray(pid_idx), jnp.asarray(kp_idx), thr,
+        num_hypotheses=512,
+    )
+    # dense operands materialized on the host the way the old wave did
+    Xd = np.asarray(P_table)[np.clip(pid_idx, 0, P - 1)]
+    xd = np.asarray(kp_flat)[np.clip(kp_idx, 0, 2 * P - 1)]
+    vd = (pid_idx >= 0).astype(np.float32)
+    Xd[pid_idx < 0] = 0.0
+    xd[pid_idx < 0] = 0.0
+    res_d = estimate_pose_pnp_wave(
+        keys, K, jnp.asarray(Xd), jnp.asarray(xd), jnp.asarray(vd), thr,
+        num_hypotheses=512,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_i.num_inliers), np.asarray(res_d.num_inliers)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_i.R), np.asarray(res_d.R), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_i.t), np.asarray(res_d.t), atol=1e-6
+    )

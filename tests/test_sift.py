@@ -193,3 +193,36 @@ def test_match_respects_validity():
     m = match_descriptors(jnp.asarray(d), jnp.asarray(d), jnp.ones(32), jnp.asarray(valid2), ratio=1.0)
     idx2 = np.asarray(m.idx2)
     assert (idx2[np.asarray(m.mask)] < 16).all()
+
+
+def test_two_phase_extract_matches_single_phase():
+    """extract_batch's two-phase path (detect at worst-case capacity,
+    describe at bucketed selection capacity) must produce exactly the
+    single-phase extract()'s keypoints and descriptors — the selection
+    keeps every valid candidate, only the dead padded slots shrink."""
+    from tests.render import render_views
+    from recon3d_tpu.features.frontend import FeatureExtractor
+
+    scene = render_views(n_views=2, image_size=(240, 320), arc_step=0.1)
+    gray = np.stack(
+        [im.mean(-1) for im in scene["images"]]
+    ).astype(np.float32)
+    ex = FeatureExtractor()
+    feats2 = ex.extract_batch(gray)
+    xy2 = np.asarray(feats2.xy)
+    v2 = np.asarray(feats2.valid)
+    d2 = np.asarray(feats2.desc)
+    u8 = np.clip(gray * 255.0, 0, 255).astype(np.uint8)
+    for i in range(2):
+        f1 = ex.extract(u8[i].astype(np.float32) / 255.0)
+        xy1 = np.asarray(f1.xy)
+        v1 = np.asarray(f1.valid)
+        d1 = np.asarray(f1.desc)
+        s1 = {tuple(np.round(p, 3)) for p in xy1[v1]}
+        s2 = {tuple(np.round(p, 3)) for p in xy2[i][v2[i]]}
+        assert s1 == s2, f"img {i}: {len(s1 ^ s2)} differing keypoints"
+        m1 = {tuple(np.round(p, 3)): d for p, d in zip(xy1[v1], d1[v1])}
+        m2 = {tuple(np.round(p, 3)): d
+              for p, d in zip(xy2[i][v2[i]], d2[i][v2[i]])}
+        for k in list(s1)[:64]:
+            np.testing.assert_allclose(m1[k], m2[k], atol=1e-5)
