@@ -199,3 +199,38 @@ def test_calibration_on_degraded_boards():
     assert abs(K_est[0, 2] - K_gt[0, 2]) < 12.0
     assert abs(K_est[1, 2] - K_gt[1, 2]) < 12.0
     assert result["overall_rms"] < 1.0
+
+
+def test_jpeg_defocus_capture_sfm():
+    """Compression + optics degradations of a real sensor pipeline: every
+    view JPEG-encoded at quality 60 (8x8 DCT block artifacts, chroma
+    quantization) and a third of the views mildly defocused (Gaussian PSF
+    sigma 1.2 px). SIFT's contrast gates and the NCC verification must
+    tolerate both; registration and pose accuracy gates match the clean
+    baseline's."""
+    import io as _io
+
+    from PIL import Image
+    from scipy.ndimage import gaussian_filter
+
+    n = 6
+    scene = render_views(n_views=n, image_size=(192, 256), arc_step=0.14)
+    rng = np.random.default_rng(11)
+    degraded = []
+    for v, img in enumerate(scene["images"]):
+        im = img
+        if v % 3 == 0:
+            im = gaussian_filter(im, sigma=(1.2, 1.2, 0.0))
+        buf = _io.BytesIO()
+        Image.fromarray(
+            (np.clip(im, 0, 1) * 255).astype(np.uint8)
+        ).save(buf, format="JPEG", quality=60)
+        back = np.asarray(Image.open(buf)).astype(np.float32) / 255.0
+        degraded.append(back)
+    degraded = np.stack(degraded)
+    # the degradations must actually bite
+    assert np.abs(degraded - scene["images"]).mean() > 0.005
+    pipe, points, poses = _run_pipeline(scene, images=degraded)
+    assert len(poses) >= n - 1, f"registered {len(poses)}/{n}"
+    assert pipe.stats["mean_reproj_px"] < 1.8
+    assert _median_rel_rot_err(poses, scene["Rs"]) < 1.5
