@@ -180,6 +180,19 @@ class FeatureExtractor:
             chunks.append(feats)
         if len(chunks) == 1:
             return chunks[0]
+        if len(chunks) > 4:
+            # Many-view scenes: concatenate on the HOST. A wide N-operand
+            # device concatenate compiles a fresh program per chunk count,
+            # and XLA:CPU was observed to abort compiling the 19-operand
+            # variant deep into a long test session; at these scales the
+            # arrays are host-sized anyway and numpy concatenation costs a
+            # memcpy with no compile at all.
+            return jax.tree.map(
+                lambda *a: jnp.asarray(
+                    np.concatenate([np.asarray(x) for x in a], axis=0)
+                ),
+                *chunks,
+            )
         return jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *chunks)
 
 

@@ -1500,13 +1500,20 @@ class SfMPipeline:
             tw["cands"] += time.time() - tm
             if not cands:
                 break
-            # Ramp = registered-1 (doubling cohorts: 1, 2, 4, 8, 16): on the
-            # tunneled link each wave costs a fixed multi-round-trip toll
-            # that dwarfs its 57 ms device time (BASELINE.md sparse
+            # Ramp doubles (1, 2, 4, 8, ...) but never exceeds 20% of the
+            # scene per wave: each wave costs a fixed multi-round-trip toll
+            # that dwarfs its ~57 ms device time (BASELINE.md sparse
             # attribution), so the 50-camera run's wave count matters more
-            # than wave size — 11 waves -> ~7 at unchanged quality gates
-            # (north-star 50/50 at 0.557 px, robustness suite green).
-            ramp = max(1, len(self.registered) - 1)
+            # than wave size (11 -> 7 waves at unchanged quality gates) —
+            # but registering a large FRACTION of a small scene against
+            # stale geometry measurably degrades it (16-view parity scene:
+            # a 7-of-16 final wave moved aligned center error
+            # 0.008 -> 0.035 of scene scale; the 20% cap restores parity).
+            n_total = max(len(self.features), 1)
+            ramp = min(
+                max(1, len(self.registered) - 1),
+                max(1, int(np.ceil(0.2 * n_total))),
+            )
             wave = cands[: min(wave_cap, ramp)]
             tm = time.time()
             accepted = self._register_wave(wave)
