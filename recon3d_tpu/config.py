@@ -35,6 +35,13 @@ class SiftConfig:
     # — the arc captures this pipeline targets gain nothing (measured,
     # tests/test_sift.py::test_multi_orientation_rolled_pair).
     multi_orientation: bool = False
+    # Start the pyramid one octave below the image (2x bilinear upsample),
+    # OpenCV SIFT's default (firstOctave=-1). On REAL photographs this is
+    # where most of the detector-count difference vs OpenCV lives: kitchen
+    # JPG at 640px measures 323 keypoints without vs 1,089 with (OpenCV:
+    # 869) — docs/real_photos.md. Off by default: 4x first-octave pixel
+    # cost, and the rendered arc scenes gain nothing from sub-pixel scales.
+    upsample: bool = False
 
 
 @dataclass(frozen=True)
@@ -118,6 +125,18 @@ class SfmConfig:
     pnp_min_correspondences: int = 12  # ref :478-510
     pnp_hypotheses: int = 2048
     pnp_thresholds_px: Tuple[float, ...] = (8.0, 10.0, 12.0)
+    # Last-chance rescue of views the match stage starved (never reached
+    # pnp_min_correspondences, or sat in a disconnected block): finer-scale
+    # re-extraction of the missing views + their window neighbors, merged
+    # edges, and relaxed-floor registration waves with a stricter inlier
+    # fraction (see SfMPipeline._rescue_unregistered; the reference's
+    # recovery loop :778-789 retries but never re-matches, so it cannot
+    # recover these).
+    rescue_unregistered: bool = True
+    rescue_min_correspondences: int = 5  # P3P minimal + 1, see inlier frac
+    rescue_min_inlier_frac: float = 0.5
+    rescue_scale: float = 2.0
+    rescue_max_images: int = 32
     registration_wave_size: int = 16   # images PnP'd per batched dispatch
     max_reproj_error_px: float = 4.0   # triangulation gate (ref geometry.py:61)
     min_parallax_deg: float = 1.0

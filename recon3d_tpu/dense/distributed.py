@@ -137,18 +137,14 @@ def distributed_plane_sweep(
     Kd = _put(mesh, K, None)
     dr = _put(mesh, depth_range, None)
 
-    sweep = jax.vmap(
-        lambda rg, sg, Rr, tr, Rs_, ts_: sweep_depth_map(
-            rg, sg, Kd, Rr, tr, Rs_, ts_, dr,
-            num_depths=num_depths, patch=patch,
-            ncc_threshold=ncc_threshold, min_views=min_views,
-        )
-    )
+    from recon3d_tpu.dense.plane_sweep import _sweep_batch_program
+
+    sweep = _sweep_batch_program(num_depths, patch, ncc_threshold, min_views)
     with mesh:
-        depth, cnt, ncc = jax.jit(sweep)(
-            arrays["ref_grays"], arrays["src_grays"],
+        depth, cnt, ncc = sweep(
+            arrays["ref_grays"], arrays["src_grays"], Kd,
             arrays["R_refs"], arrays["t_refs"],
-            arrays["R_srcss"], arrays["t_srcss"],
+            arrays["R_srcss"], arrays["t_srcss"], dr,
         )
     return (
         np.asarray(depth)[:B], np.asarray(cnt)[:B], np.asarray(ncc)[:B]

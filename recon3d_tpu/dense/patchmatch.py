@@ -731,15 +731,10 @@ class PatchMatchMVS:
         J = min(cfg.num_source_views, V - 1)
         min_views = min(cfg.min_views, J)
         t_depth = time.time() - t0 - t_prep
-        fuse = jax.jit(
-            jax.vmap(
-                lambda d, R, t, v: backproject_depth(
-                    d, jnp.asarray(K), R, t, v
-                )
-            )
-        )
-        pts_b, mask_b = fuse(
-            depth_all,
+        from recon3d_tpu.dense.plane_sweep import _fuse_program
+
+        pts_b, mask_b = _fuse_program()(
+            depth_all, jnp.asarray(K),
             jnp.asarray(Rs), jnp.asarray(ts),
             conf_all >= min_views,
         )

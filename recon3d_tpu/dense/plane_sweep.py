@@ -263,6 +263,36 @@ def _sweep_hier(
     return 1.0 / best_inv, best_cnt, best_ncc
 
 
+@functools.lru_cache(maxsize=8)
+def _sweep_batch_program(num_depths: int, patch: int, ncc_threshold: float,
+                         min_views: int):
+    """Jitted vmapped sweep, memoized per config: a fresh jit-of-closure
+    per reconstruct() call would re-trace the whole hierarchical sweep
+    every run (multi-second toll on warm service requests)."""
+    def fn(ref_g, src_g, K, R_refs, t_refs, R_srcs, t_srcs, dr):
+        return jax.vmap(
+            lambda rg, sg, Rr, tr, Rs_, ts_: sweep_depth_map(
+                rg, sg, K, Rr, tr, Rs_, ts_, dr,
+                num_depths=num_depths,
+                patch=patch,
+                ncc_threshold=ncc_threshold,
+                min_views=min_views,
+            )
+        )(ref_g, src_g, R_refs, t_refs, R_srcs, t_srcs)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=1)
+def _fuse_program():
+    """Jitted vmapped depth-map back-projection (memoized, see above)."""
+    return jax.jit(
+        jax.vmap(
+            backproject_depth, in_axes=(0, None, 0, 0, 0)
+        )
+    )
+
+
 def backproject_depth(
     depth: jnp.ndarray, K: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
     valid: jnp.ndarray,
@@ -464,19 +494,11 @@ class PlaneSweepReconstructor:
             Kj = jax.device_put(Kj, replicated(mesh))
             drj = jax.device_put(drj, replicated(mesh))
 
-        sweep_b = jax.jit(
-            jax.vmap(
-                lambda rg, sg, Rr, tr, Rs_, ts_: sweep_depth_map(
-                    rg, sg, Kj, Rr, tr, Rs_, ts_, drj,
-                    num_depths=cfg.num_depths,
-                    patch=cfg.patch_size,
-                    ncc_threshold=cfg.ncc_threshold,
-                    min_views=cfg.min_views,
-                )
-            )
+        sweep_b = _sweep_batch_program(
+            cfg.num_depths, cfg.patch_size, cfg.ncc_threshold, cfg.min_views
         )
         depth_b, cnt_b, ncc_b = sweep_b(
-            ref_g, src_g, R_refs, t_refs, R_srcs, t_srcs
+            ref_g, src_g, Kj, R_refs, t_refs, R_srcs, t_srcs, drj
         )
         if len(ref_ids) != n_real_refs:  # drop mesh padding rows
             ref_ids = ref_ids[:n_real_refs]
@@ -491,13 +513,9 @@ class PlaneSweepReconstructor:
             [min(cfg.min_views, len(neighbors[i])) for i in ref_ids],
             jnp.int32,
         )
-        fuse = jax.jit(
-            jax.vmap(
-                lambda d, R, t, v: backproject_depth(d, Kj, R, t, v)
-            )
-        )
-        pts_b, mask_b = fuse(
-            depth_b, R_refs, t_refs, cnt_b >= min_views_r[:, None, None]
+        pts_b, mask_b = _fuse_program()(
+            depth_b, Kj, R_refs, t_refs,
+            cnt_b >= min_views_r[:, None, None],
         )
         # Device-side compaction (see fused_points_compact): only selected
         # points cross the link.

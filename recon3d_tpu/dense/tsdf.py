@@ -154,6 +154,7 @@ def fuse_tsdf(
     min_conf: float = 0.0,
     sparse_points: Optional[np.ndarray] = None,
     mesh=None,
+    timings: Optional[dict] = None,
 ) -> TSDFVolume:
     """Fuse per-view depth maps into a TSDF volume.
 
@@ -165,6 +166,10 @@ def fuse_tsdf(
     mesh: optional jax.sharding.Mesh — views shard over its 'data' axis
           (zero-weight padding views make V divisible; they contribute 0).
     """
+    import time as _time
+
+    tm = timings if timings is not None else {}
+    _t = _time.time()
     depths = np.asarray(depths, np.float32)
     V, H, W = depths.shape
     if confs is None:
@@ -188,6 +193,8 @@ def fuse_tsdf(
     voxel = float((hi - lo).max() / (resolution - 1))
     trunc = trunc_voxels * voxel
 
+    tm["host_prep_s"] = _time.time() - _t
+    _t = _time.time()
     args = (
         jnp.asarray(depths),
         jnp.asarray(confs),
@@ -219,13 +226,17 @@ def fuse_tsdf(
         )
     else:
         tsdf, weight = _integrate_views(*args, n=int(resolution))
-    return TSDFVolume(
+    tm["upload_dispatch_s"] = _time.time() - _t
+    _t = _time.time()
+    vol = TSDFVolume(
         tsdf=np.asarray(tsdf),
         weight=np.asarray(weight),
         origin=lo.astype(np.float32),
         voxel=voxel,
         trunc=trunc,
     )
+    tm["volume_fetch_s"] = _time.time() - _t
+    return vol
 
 
 def _backproject_samples(

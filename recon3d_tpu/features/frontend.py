@@ -29,18 +29,30 @@ from recon3d_tpu.ops.match import match_descriptors, MatchResult
 from recon3d_tpu.ops.estimation import estimate_fundamental_ransac
 
 
+# Jitted extraction programs, keyed by (SiftConfig, kind, shape[, caps]).
+# MODULE-level, not per-FeatureExtractor: the pipeline constructs a fresh
+# extractor per run, and a per-instance cache made every reconstruction
+# request re-trace + re-lower the largest programs in the whole framework
+# (measured through the serve daemon: 15.4 s of a 18.4 s warm-request
+# extraction stage was re-tracing/lowering, not compute — VERDICT r4 #2).
+# SiftConfig is a frozen dataclass, so identical configs hash equal and
+# the closures built from them are behaviorally identical.
+_JIT_CACHE: Dict[tuple, callable] = {}
+
+
 class FeatureExtractor:
     """SIFT extractor with optional CLAHE preprocessing.
 
-    One jitted kernel per distinct image shape (cached); call `extract`
-    with (H, W) float32 grayscale in [0, 1].
+    One jitted kernel per distinct (config, image shape), cached across
+    instances; call `extract` with (H, W) float32 grayscale in [0, 1].
     """
 
     def __init__(self, config: Optional[SiftConfig] = None):
         self.config = config or SiftConfig()
-        self._jitted: Dict[Tuple[int, int], callable] = {}
+        self._jitted = _JIT_CACHE
 
     def _get_fn(self, shape: Tuple[int, int]):
+        shape = (self.config, "extract") + tuple(shape)
         if shape not in self._jitted:
             cfg = self.config
 
@@ -59,6 +71,7 @@ class FeatureExtractor:
                     sigma0=cfg.sigma,
                     contrast_threshold=cfg.contrast_threshold,
                     edge_threshold=cfg.edge_threshold,
+                    upsample=cfg.upsample,
                     descriptor_max_value=cfg.descriptor_max_value,
                     multi_orientation=cfg.multi_orientation,
                 )
@@ -82,7 +95,7 @@ class FeatureExtractor:
         return img
 
     def _get_detect_fn(self, shape: Tuple[int, int, int]):
-        key = ("detect",) + shape
+        key = (self.config, "detect") + tuple(shape)
         if key not in self._jitted:
             cfg = self.config
 
@@ -96,6 +109,7 @@ class FeatureExtractor:
                         sigma0=cfg.sigma,
                         contrast_threshold=cfg.contrast_threshold,
                         edge_threshold=cfg.edge_threshold,
+                        upsample=cfg.upsample,
                     )
 
                 return jax.vmap(one)(imgs_u8)
@@ -104,7 +118,7 @@ class FeatureExtractor:
         return self._jitted[key]
 
     def _get_describe_fn(self, shape, caps_sel: Tuple[int, ...]):
-        key = ("describe",) + shape + caps_sel
+        key = (self.config, "describe") + tuple(shape) + tuple(caps_sel)
         if key not in self._jitted:
             cfg = self.config
 
@@ -122,78 +136,133 @@ class FeatureExtractor:
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
 
-    def extract_batch(self, images: np.ndarray, chunk: int = 16):
+    def extract_batch(
+        self,
+        images: np.ndarray,
+        chunk: int = 16,
+        max_inflight_chunks: int = 4,
+        timings: Optional[Dict[str, float]] = None,
+    ):
         """Batched extraction: (V, H, W) float32 [0,1] -> ONE stacked
         SiftFeatures whose arrays have a leading view axis (V, ...).
 
         TWO-PHASE: detection runs at the worst-case candidate capacity
         (max_features slots), then the host fetches only the per-octave
-        valid COUNTS and describes at pow-2-bucketed selection capacities
-        covering the whole batch. Orientation/descriptor cost is
-        proportional to slots, not keypoints, so typical scenes (a few
-        hundred keypoints against an 8k budget) describe ~10x fewer slots
-        (measured 5.3 s -> 2.0 s for 50 images, identical keypoints).
+        valid COUNTS and describes at pow-2-bucketed selection capacities.
+        Orientation/descriptor cost is proportional to slots, not
+        keypoints, so typical scenes (a few hundred keypoints against an
+        8k budget) describe ~10x fewer slots (measured 5.3 s -> 2.0 s for
+        50 images, identical keypoints).
+
+        Detect chunks are bounded at `max_inflight_chunks` before their
+        describes run, so peak device memory is O(window) Gaussian
+        pyramids, not O(V): each window dispatches its detects, fetches
+        its counts, describes, and drops its pyramid references before
+        the next window's detects start. Selection capacities are chosen
+        per window; windows whose buckets differ are padded to the
+        largest capacity on the host at the final concatenation (padding
+        slots carry valid=False, so consumers are unaffected).
 
         Images ship as uint8 and chunks of `chunk` run as one vmapped device
         program; chunk outputs concatenate on device. Returning per-image
         slices instead would issue hundreds of tiny slice dispatches — fatal
         over a high-latency device link. Use feature_slice(feats, i) for a
         single image's view."""
+        import time as _time
+
+        tm = timings if timings is not None else {}
+        tm.setdefault("host_prep_s", 0.0)
+        tm.setdefault("detect_dispatch_s", 0.0)
+        tm.setdefault("counts_sync_s", 0.0)
+        tm.setdefault("describe_dispatch_s", 0.0)
+        tm.setdefault("concat_s", 0.0)
         V = images.shape[0]
+        _t = _time.time()
         u8 = np.clip(images * 255.0, 0, 255).astype(np.uint8)
-        det_chunks = []
-        cnt_dev = []
-        for c0 in range(0, V, chunk):
-            batch = u8[c0 : c0 + chunk]
-            nb = batch.shape[0]
-            if nb < chunk:  # pad to the static chunk size
-                batch = np.concatenate(
-                    [batch, np.repeat(batch[-1:], chunk - nb, axis=0)]
+        tm["host_prep_s"] += _time.time() - _t
+        window = chunk * max(1, max_inflight_chunks)
+        win_feats = []
+        for w0 in range(0, V, window):
+            wu8 = u8[w0 : w0 + window]
+            det_chunks = []
+            cnt_dev = []
+            _t = _time.time()
+            for c0 in range(0, wu8.shape[0], chunk):
+                batch = wu8[c0 : c0 + chunk]
+                nb = batch.shape[0]
+                if nb < chunk:  # pad to the static chunk size
+                    batch = np.concatenate(
+                        [batch, np.repeat(batch[-1:], chunk - nb, axis=0)]
+                    )
+                pyr, dets, cnt = self._get_detect_fn(batch.shape)(
+                    jnp.asarray(batch)
                 )
-            pyr, dets, cnt = self._get_detect_fn(batch.shape)(
-                jnp.asarray(batch)
+                det_chunks.append((batch.shape, pyr, dets, nb))
+                cnt_dev.append((cnt, nb))
+            tm["detect_dispatch_s"] += _time.time() - _t
+            # fetch counts only after the window's chunks have all
+            # dispatched: a fetch inside the loop would serialize the
+            # chunks' device work on the sync
+            _t = _time.time()
+            counts = np.concatenate(
+                [np.asarray(c)[:nb] for c, nb in cnt_dev], axis=0
+            )  # (Vw, O)
+            tm["counts_sync_s"] += _time.time() - _t
+            del cnt_dev
+            caps_det = tuple(
+                int(d["valid"].shape[-1]) for d in det_chunks[0][2]
             )
-            det_chunks.append((batch.shape, pyr, dets, nb))
-            cnt_dev.append((cnt, nb))
-        # fetch counts only after EVERY chunk has dispatched: a fetch inside
-        # the loop would serialize the chunks' device work on the sync
-        counts = np.concatenate(
-            [np.asarray(c)[:nb] for c, nb in cnt_dev], axis=0
-        )  # (V, O)
-        caps_det = tuple(
-            int(d["valid"].shape[-1]) for d in det_chunks[0][2]
-        )
-        # pow-2 buckets with 25% headroom, clipped to the detection caps;
-        # one caps_sel for the WHOLE batch so chunk outputs share a
-        # capacity and concatenate
-        caps_sel = tuple(
-            min(cap, max(128, 1 << int(np.ceil(np.log2(
-                max(counts[:, o].max(), 1) * 1.25 + 16
-            )))))
-            for o, cap in enumerate(caps_det)
-        )
-        chunks = []
-        for shape, pyr, dets, nb in det_chunks:
-            feats = self._get_describe_fn(shape, caps_sel)(pyr, dets)
-            if nb < shape[0]:
-                feats = jax.tree.map(lambda a: a[:nb], feats)
-            chunks.append(feats)
-        if len(chunks) == 1:
-            return chunks[0]
-        if len(chunks) > 4:
-            # Many-view scenes: concatenate on the HOST. A wide N-operand
-            # device concatenate compiles a fresh program per chunk count,
-            # and XLA:CPU was observed to abort compiling the 19-operand
-            # variant deep into a long test session; at these scales the
-            # arrays are host-sized anyway and numpy concatenation costs a
-            # memcpy with no compile at all.
-            return jax.tree.map(
-                lambda *a: jnp.asarray(
-                    np.concatenate([np.asarray(x) for x in a], axis=0)
-                ),
-                *chunks,
+            # pow-2 buckets with 25% headroom, clipped to the detection
+            # caps; one caps_sel per WINDOW so its chunk outputs share a
+            # capacity and concatenate on device
+            caps_sel = tuple(
+                min(cap, max(128, 1 << int(np.ceil(np.log2(
+                    max(counts[:, o].max(), 1) * 1.25 + 16
+                )))))
+                for o, cap in enumerate(caps_det)
             )
-        return jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *chunks)
+            chunks = []
+            _t = _time.time()
+            while det_chunks:
+                # pop: release each chunk's pyramid/det buffers as soon as
+                # its describe has dispatched (ADVICE r4: O(V) -> O(window)
+                # peak device memory)
+                shape, pyr, dets, nb = det_chunks.pop(0)
+                feats = self._get_describe_fn(shape, caps_sel)(pyr, dets)
+                del pyr, dets
+                if nb < shape[0]:
+                    feats = jax.tree.map(lambda a: a[:nb], feats)
+                chunks.append(feats)
+            tm["describe_dispatch_s"] += _time.time() - _t
+            _t = _time.time()
+            win_feats.append(
+                chunks[0] if len(chunks) == 1
+                else jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *chunks)
+            )
+            tm["concat_s"] += _time.time() - _t
+        if len(win_feats) == 1:
+            return win_feats[0]
+        # Cross-window concatenation happens on the HOST: a wide N-operand
+        # device concatenate compiles a fresh program per operand count,
+        # and XLA:CPU was observed to abort compiling the 19-operand
+        # variant deep into a long test session; at these scales the
+        # arrays are host-sized anyway and numpy concatenation costs a
+        # memcpy with no compile at all. Windows may carry different
+        # selection capacities — pad each to the largest before stacking.
+        kmax = max(int(f.valid.shape[1]) for f in win_feats)
+
+        def _pad_concat(*arrs):
+            padded = []
+            for a in arrs:
+                a = np.asarray(a)
+                if a.shape[1] < kmax:
+                    pad = [(0, 0)] * a.ndim
+                    pad[1] = (0, kmax - a.shape[1])
+                    a = np.pad(a, pad)
+                padded.append(a)
+            return jnp.asarray(np.concatenate(padded, axis=0))
+
+        return jax.tree.map(_pad_concat, *win_feats)
 
 
 def feature_slice(stacked, i: int):
@@ -322,6 +391,7 @@ def match_pairs_batched(
     config: Optional[MatchConfig] = None,
     chunk: int = 64,
     mesh=None,                # optional jax.sharding.Mesh: shard pair chunks
+    timings: Optional[Dict[str, float]] = None,
 ):
     """Host-facing batched pair matching: stacks the per-image features once
     and runs _match_verify_batch over pair chunks.
@@ -338,10 +408,17 @@ def match_pairs_batched(
     Returns (i, j, idx1, idx2, F, n_inliers, n_raw) numpy tuples with idx1/
     idx2 the ORIGINAL keypoint indices of the geometric inliers; the caller
     applies min_matches gates."""
+    import time as _time
+
+    tm = timings if timings is not None else {}
     cfg = config or MatchConfig()
+    _t = _time.time()
     if isinstance(features, (list, tuple)):
         features = jax.tree.map(lambda *a: jnp.stack(a), *features)
+    # the one synchronous fetch of the prep: (V, K) validity bits
     valid_np = np.asarray(features.valid)
+    tm["valid_fetch_s"] = _time.time() - _t
+    _t = _time.time()
     counts = valid_np.sum(1).astype(int)
     K = valid_np.shape[1]
     C = 1 << max(8, int(np.ceil(np.log2(max(1, counts.max())))))
@@ -355,6 +432,7 @@ def match_pairs_batched(
     desc = features.desc[row, oj]
     valid = features.valid[row, oj].astype(jnp.float32)
     xy = features.xy[row, oj]
+    tm["compact_s"] = _time.time() - _t
     # Multi-chip: the pair axis of each chunk shards over the mesh's 'data'
     # axis (features replicate); XLA partitions the vmapped match+RANSAC
     # program so every chip verifies its own pair shard (SURVEY §7 step 11 —
@@ -374,6 +452,7 @@ def match_pairs_batched(
     # each field once: over a high-latency link, per-chunk synchronous
     # downloads dominate (e.g. 28 chunk round-trips for ~450 pairs); one
     # concatenated download amortizes the latency to a single round trip.
+    _t = _time.time()
     chunk_out = []
     for c0 in range(0, len(pairs), chunk):
         batch = pairs[c0 : c0 + chunk]
@@ -394,10 +473,14 @@ def match_pairs_batched(
             num_hypotheses=cfg.ransac_hypotheses,
         )
         chunk_out.append(jax.tree.map(lambda a, n=nb: a[:n], res))
+    tm["dispatch_s"] = _time.time() - _t
+    _t = _time.time()
     idx2, inl, F, n_inl, n_raw = (
         np.asarray(jnp.concatenate(field, axis=0))
         for field in zip(*chunk_out)
     )
+    tm["result_pull_s"] = _time.time() - _t
+    _t = _time.time()
     out = []
     for r, (i, j) in enumerate(pairs):
         # translate compacted positions back to original keypoint ids
@@ -407,4 +490,5 @@ def match_pairs_batched(
         out.append(
             (i, j, idx1_orig, idx2_orig, F[r], int(n_inl[r]), int(n_raw[r]))
         )
+    tm["translate_s"] = _time.time() - _t
     return out

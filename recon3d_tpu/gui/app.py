@@ -38,6 +38,7 @@ def collect_options(
     max_images: Optional[int] = None,
     output: Optional[str] = None,
     mesh: bool = False,
+    serve_socket: Optional[str] = None,
 ) -> Dict:
     """Merge the widget panel state into a preset's options dict — the
     headless core of the reference's start_reconstruction widget->flags
@@ -55,6 +56,12 @@ def collect_options(
             options["mesh"] = True
     if output:
         options["output"] = output
+    if serve_socket and not options.get("method", "").startswith("colmap"):
+        # Route custom-pipeline runs through the persistent reconstruction
+        # service (runtime/serve.py): the daemon's warm jit caches turn the
+        # fresh-process north-star run into the ~20 s steady state. The
+        # worker auto-starts the daemon on first use.
+        options["serve_socket"] = serve_socket
     return options
 
 # output files to look for after a run — reference main_app.py:285-293

@@ -41,6 +41,11 @@ from recon3d_tpu.ops.match import MatchResult
 from recon3d_tpu.ops.estimation import estimate_fundamental_ransac
 
 
+# Jitted SuperPoint/LightGlue programs shared across NeuralMatcher
+# instances (keys carry the frozen NeuralConfig — see __init__ note).
+_NEURAL_JIT_CACHE: Dict[tuple, callable] = {}
+
+
 class NeuralMatcher:
     def __init__(self, config: Optional[NeuralConfig] = None,
                  match_config: Optional[MatchConfig] = None):
@@ -53,8 +58,14 @@ class NeuralMatcher:
         )
         self._sp_params = None
         self._lg_params = None
-        self._extract_jit: Dict[Tuple[int, int], callable] = {}
-        self._match_jit: Dict[Tuple[int, int], callable] = {}
+        # Module-level jit cache keyed by (frozen NeuralConfig, kind, sig):
+        # the pipeline builds a fresh NeuralMatcher per run, and per-
+        # instance caches re-trace SuperPoint/LightGlue on every warm
+        # service request (same per-request toll as the SIFT frontend's —
+        # features/frontend.py _JIT_CACHE). Params ship as call arguments,
+        # so programs are shareable across instances with equal configs.
+        self._extract_jit = _NEURAL_JIT_CACHE
+        self._match_jit = _NEURAL_JIT_CACHE
         # "auto": LightGlue only when EXPLICIT trained weights were supplied
         # (converted published checkpoints via neural/weights.py). The
         # bundled in-repo synthetic checkpoint measurably UNDER-recalls its
@@ -161,8 +172,8 @@ class NeuralMatcher:
     def extract(self, image: np.ndarray) -> NeuralFeatures:
         """image: (H, W) grayscale float32 [0, 1] -> padded NeuralFeatures."""
         img = jnp.asarray(image, jnp.float32)
-        hw = img.shape
-        self._ensure_params(hw)
+        hw = (self.config, "extract") + tuple(img.shape)
+        self._ensure_params(tuple(img.shape))
         if hw not in self._extract_jit:
             cfg = self.config
             sp = self.sp
@@ -190,20 +201,22 @@ class NeuralMatcher:
               hw: Optional[Tuple[int, int]] = None) -> MatchResult:
         self._ensure_params(hw or (1024, 1024))
         if self.matcher_kind == "nn":
-            if not hasattr(self, "_nn_jit"):
+            nn_key = (self.config, "nn")
+            if nn_key not in _NEURAL_JIT_CACHE:
                 from recon3d_tpu.ops.match import match_descriptors
 
                 ratio = self.config.nn_ratio
-                self._nn_jit = jax.jit(
+                _NEURAL_JIT_CACHE[nn_key] = jax.jit(
                     lambda a, b: match_descriptors(
                         a.desc, b.desc, a.valid, b.valid, ratio=ratio
                     )
                 )
-            return self._nn_jit(f1, f2)
+            return _NEURAL_JIT_CACHE[nn_key](f1, f2)
         k = int(f1.xy.shape[0])
-        sig = (k, int(f2.xy.shape[0]))
+        sig = (self.config, "match", k, int(f2.xy.shape[0]))
         if sig not in self._match_jit:
             lg = self.lg
+            threshold = self.config.lightglue_match_threshold
 
             def fn(params, f1: NeuralFeatures, f2: NeuralFeatures, hw):
                 xy0n = normalize_keypoints(f1.xy, hw)
@@ -213,7 +226,7 @@ class NeuralMatcher:
                 )
                 mres = extract_matches(
                     log_assign, f1.valid, f2.valid,
-                    threshold=self.config.lightglue_match_threshold,
+                    threshold=threshold,
                 )
                 return mres
 

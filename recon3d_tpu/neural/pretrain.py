@@ -373,8 +373,18 @@ def train_lightglue(
             )
             keep = rng.random((2 * n_pairs, K)) < rate
             valid = valid & keep
-            # -- host: ground-truth assignment under each homography
+            # -- host: three-class ground-truth under each geometry
+            # (>=0 partner, -1 confidently unmatchable, -2 ignore).
+            # Round 4's two-class labels called every unmatched keypoint
+            # unmatchable; measured on this corpus ~19 of ~32 negatives
+            # per view pair are near-miss cases (a detection within
+            # ignore_radius of the reprojection that just isn't the
+            # mutual nearest) — punishing those trained the matchability
+            # head to abstain on matchable texture (docs/neural_quality.md
+            # round 5). Near-misses now contribute NO loss, on either side.
+            ignore_radius = max(2.5 * gt_radius_px, 8.0)
             gt = np.full((n_pairs, K), -1, np.int32)
+            ign1 = np.zeros((n_pairs, K), bool)
             for p in range(n_pairs):
                 xa, xb = xy[p], xy[n_pairs + p]
                 va, vb = valid[p], valid[n_pairs + p]
@@ -403,6 +413,13 @@ def train_lightglue(
                 back = np.argmin(d, 0)
                 ok = (dj < gt_radius_px) & (back[j] == np.arange(K))
                 gt[p, ok] = j[ok]
+                # near-miss on side 0: some detection close to the
+                # reprojection, but not a mutual match -> ignore
+                gt[p, ~ok & (dj < ignore_radius)] = -2
+                # near-miss on side 1: close to SOME reprojection but not
+                # matched (the loss masks already-matched ones itself)
+                dmin1 = d.min(axis=0)
+                ign1[p] = dmin1 < ignore_radius
             # -- device: epoch-scan over the round's pairs
             sh = (batches_per_round, batch, K)
             data = dict(
@@ -417,6 +434,7 @@ def train_lightglue(
                 valid0=jnp.asarray(valid[:n_pairs]).reshape(sh),
                 valid1=jnp.asarray(valid[n_pairs:]).reshape(sh),
                 gt_idx=jnp.asarray(gt).reshape(sh),
+                ignore1=jnp.asarray(ign1).reshape(sh),
             )
             state, losses = run(state, data)
             done += steps_per_round

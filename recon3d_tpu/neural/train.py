@@ -196,13 +196,26 @@ def make_epoch_train_fn(model: SuperPointNet, tx, mesh: Mesh,
     return run
 
 
-def _lightglue_loss(log_assign, m0, m1, gt_idx, valid0, valid1):
-    """LightGlue supervision (Lindenberger et al. 2023, eq. 9).
+def _lightglue_loss(log_assign, m0, m1, gt_idx, valid0, valid1,
+                    ignore1=None):
+    """LightGlue supervision (Lindenberger et al. 2023, eq. 9) with a
+    three-class label scheme.
 
     log_assign (N0, N1) soft-assignment log-probs; m0/m1 matchability
-    probabilities; gt_idx (N0,) index into set 1 (or -1 for no match).
-    Positives maximize the assignment log-likelihood; keypoints with no
-    ground-truth partner minimize matchability.
+    probabilities; gt_idx (N0,) index into set 1: >= 0 ground-truth
+    partner, -1 confidently UNMATCHABLE (occluded / out of view / no
+    detection anywhere near the reprojection), -2 IGNORE (a detection
+    sits near — but not mutually-nearest within — the reprojection, so
+    the point is plausibly matchable and SuperPoint merely localized its
+    partner elsewhere). ignore1 (N1,) optionally marks set-1 keypoints to
+    exclude from the unmatchable term.
+
+    Round-4's two-class labels called every unmatched keypoint
+    unmatchable; with ~19 of the ~32 negatives per view pair actually
+    being near-miss cases (measured, docs/neural_quality.md round 5),
+    the matchability head was trained to abstain on matchable texture —
+    the exact under-recall the quality table shows. Ignored points
+    contribute NO loss.
     """
     matched = (gt_idx >= 0) & valid0
     pos = jnp.take_along_axis(
@@ -211,7 +224,7 @@ def _lightglue_loss(log_assign, m0, m1, gt_idx, valid0, valid1):
     n_pos = jnp.maximum(jnp.sum(matched), 1.0)
     loss_pos = -jnp.sum(jnp.where(matched, pos, 0.0)) / n_pos
 
-    un0 = valid0 & (gt_idx < 0)
+    un0 = valid0 & (gt_idx == -1)
     # which set-1 keypoints are matched by someone (scatter-add: a False
     # .set() at the clipped index 0 would clobber a real hit there)
     hit1 = (
@@ -221,6 +234,8 @@ def _lightglue_loss(log_assign, m0, m1, gt_idx, valid0, valid1):
         > 0
     )
     un1 = valid1 & ~hit1
+    if ignore1 is not None:
+        un1 = un1 & ~ignore1
     eps = 1e-6
     loss_un = (
         -jnp.sum(jnp.where(un0, jnp.log(1.0 - m0 + eps), 0.0))
@@ -237,26 +252,28 @@ def make_lightglue_train_fn(lg_model, tx, mesh: Mesh, epochs: int = 4):
 
     data leaves (D, B, ...): desc0/desc1 (D, B, K, dim), xy0n/xy1n
     (D, B, K, 2) normalized coords, valid0/valid1 (D, B, K) bool,
-    gt_idx (D, B, K) int32 (-1 = unmatched). Features come from the frozen
-    (bundled) SuperPoint — only LightGlue parameters train.
+    gt_idx (D, B, K) int32 (>=0 partner, -1 unmatchable, -2 ignore),
+    ignore1 (D, B, K) bool (set-1 near-miss exclusions). Features come
+    from the frozen (bundled) SuperPoint — only LightGlue params train.
     """
     data_sh = jax.tree_util.tree_map(
         lambda _: NamedSharding(mesh, P(None, DATA_AXIS)), {
             "desc0": 0, "desc1": 0, "xy0n": 0, "xy1n": 0,
-            "valid0": 0, "valid1": 0, "gt_idx": 0,
+            "valid0": 0, "valid1": 0, "gt_idx": 0, "ignore1": 0,
         },
     )
 
     def pair_loss(params, cb):
-        def one(desc0, desc1, xy0n, xy1n, valid0, valid1, gt):
+        def one(desc0, desc1, xy0n, xy1n, valid0, valid1, gt, ign1):
             log_assign, m0, m1 = lg_model.apply(
                 params, desc0, desc1, xy0n, xy1n, valid0, valid1
             )
-            return _lightglue_loss(log_assign, m0, m1, gt, valid0, valid1)
+            return _lightglue_loss(log_assign, m0, m1, gt, valid0, valid1,
+                                   ignore1=ign1)
 
         l, lp, lu = jax.vmap(one)(
             cb["desc0"], cb["desc1"], cb["xy0n"], cb["xy1n"],
-            cb["valid0"], cb["valid1"], cb["gt_idx"],
+            cb["valid0"], cb["valid1"], cb["gt_idx"], cb["ignore1"],
         )
         return jnp.mean(l), (jnp.mean(lp), jnp.mean(lu))
 

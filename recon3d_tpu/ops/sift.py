@@ -506,7 +506,8 @@ def _describe_octave(
     slots). Returns a list of SiftFeatures parts (primary + optional
     secondary-orientation block).
     """
-    if cap_sel is not None and cap_sel < det["valid"].shape[0]:
+    cap_det = det["valid"].shape[0]
+    if cap_sel is not None and cap_sel < cap_det:
         order = jnp.argsort(
             jnp.where(det["valid"], -det["response"], jnp.inf)
         )[:cap_sel]
@@ -551,8 +552,12 @@ def _describe_octave(
     if multi_orientation:
         # Secondary-orientation keypoints: static 1/4-capacity slots,
         # filled by the strongest-response candidates with a qualifying
-        # second peak; the rest of the slots carry valid=False.
-        k2 = max(32, det["valid"].shape[0] // 4)
+        # second peak; the rest of the slots carry valid=False. k2 derives
+        # from the DETECTION capacity (clamped to the selection capacity)
+        # so the two-phase path emits the same secondary set as
+        # extract_sift: cap_sel always covers every valid candidate
+        # (1.25x count headroom), so top-k2-by-response coincides.
+        k2 = max(32, min(cap_det // 4, det["valid"].shape[0]))
         sec_ok = det["valid"] & has2
         sec_score = jnp.where(sec_ok, det["response"], -jnp.inf)
         idx2 = jnp.argsort(-sec_score)[:k2]

@@ -117,7 +117,10 @@ class ReconstructionWorker:
         self.returncode: Optional[int] = None
 
     def run(self, dataset: str, options: Optional[Dict] = None) -> bool:
-        cmd = build_command(dataset, options or {})
+        options = options or {}
+        if options.get("serve_socket"):
+            return self._run_via_server(dataset, options)
+        cmd = build_command(dataset, options)
         self.on_log(f"Executing: {' '.join(cmd)}")
         self.process = subprocess.Popen(
             cmd,
@@ -138,6 +141,43 @@ class ReconstructionWorker:
                 last_status = status
                 self.on_status(status)
         self.returncode = self.process.wait()
+        ok = self.returncode == 0
+        self.on_finished(ok)
+        return ok
+
+    def _run_via_server(self, dataset: str, options: Dict) -> bool:
+        """Route the job through a persistent reconstruction service
+        (runtime/serve.py) instead of a fresh subprocess: the daemon's
+        warm jit caches turn the 112-148 s fresh-process north-star run
+        into the ~20 s in-process steady state (BASELINE.md). The argv is
+        the same one build_command would exec; COLMAP methods always run
+        as subprocesses (external binary — nothing to keep warm)."""
+        cmd = build_command(dataset, options)
+        if cmd[2] != "recon3d_tpu.cli":  # cmd = [python, -m, module, ...]
+            return self.run(dataset, {**options, "serve_socket": None})
+        argv = cmd[3:]
+        from recon3d_tpu.runtime import serve
+
+        sock = options["serve_socket"]
+        if options.get("serve_autostart", True):
+            serve.ensure_server(sock)
+        self.on_log(f"Submitting to reconstruction service at {sock}: "
+                    f"{' '.join(argv)}")
+        last_status = None
+
+        def on_log(line: str) -> None:
+            self.on_log(line)
+            nonlocal last_status
+            status = sniff_status(line)
+            if status and status != last_status:
+                last_status = status
+                self.on_status(status)
+
+        try:
+            self.returncode = serve.request(argv, sock, on_log=on_log)
+        except ConnectionError as e:
+            self.on_log(f"ERROR: {e}")
+            self.returncode = 1
         ok = self.returncode == 0
         self.on_finished(ok)
         return ok

@@ -402,26 +402,14 @@ def _lm_loop(
     return R, t, X, iters
 
 
-def _lm_loop_mesh(
-    mesh,
-    data_host: dict,
-    damping0,
-    delta,
-    max_iters,
-    cg_iters: int,
-    motion_only: bool,
-):
-    """Observation-sharded LM loop over a device mesh ('data' axis).
-
-    Each device holds a contiguous slice of the padded observation table
-    with its own per-shard segment indices (built by bundle_adjust);
-    parameters are replicated and every reduction psums (see _lm_step's
-    axis docs). This is the SURVEY §7 step-11 sharding of the BA CG:
-    observation-partitioned data parallelism, the same decomposition as
-    distributed PatchMatch's view axis.
-    """
+@functools.lru_cache(maxsize=8)
+def _lm_mesh_program(mesh, cg_iters: int, motion_only: bool):
+    """One jitted shard_map LM program per (mesh, cg_iters, motion_only).
+    Memoized at module level: a fresh jit-of-closure per BA call would
+    re-trace the whole LM loop every bundle adjustment (a multi-second
+    toll per call on warm steady-state runs)."""
     from jax import shard_map
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     obs = P("data")
     obs2 = P("data", None)
@@ -452,6 +440,30 @@ def _lm_loop_mesh(
             out_specs=(P(), P(), P(), P()),
         )
     )
+    return sharded, in_specs
+
+
+def _lm_loop_mesh(
+    mesh,
+    data_host: dict,
+    damping0,
+    delta,
+    max_iters,
+    cg_iters: int,
+    motion_only: bool,
+):
+    """Observation-sharded LM loop over a device mesh ('data' axis).
+
+    Each device holds a contiguous slice of the padded observation table
+    with its own per-shard segment indices (built by bundle_adjust);
+    parameters are replicated and every reduction psums (see _lm_step's
+    axis docs). This is the SURVEY §7 step-11 sharding of the BA CG:
+    observation-partitioned data parallelism, the same decomposition as
+    distributed PatchMatch's view axis.
+    """
+    from jax.sharding import NamedSharding
+
+    sharded, in_specs = _lm_mesh_program(mesh, cg_iters, motion_only)
     data = BAData(**{
         k: jax.device_put(
             jnp.asarray(v),

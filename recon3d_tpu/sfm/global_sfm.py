@@ -484,6 +484,7 @@ def _solve_points(pipeline, table, gate_px: float) -> None:
     pipeline.points3d = []
     pipeline.point_colors = []
     pipeline.observations = []
+    pipeline._obs_generation += 1  # wholesale rewrite: stale device log
     pipeline.kp_to_point = [
         np.full(len(k), -1, np.int64) for k in pipeline.kp_xy
     ]
