@@ -234,3 +234,61 @@ def test_jpeg_defocus_capture_sfm():
     assert len(poses) >= n - 1, f"registered {len(poses)}/{n}"
     assert pipe.stats["mean_reproj_px"] < 1.8
     assert _median_rel_rot_err(poses, scene["Rs"]) < 1.5
+
+
+@pytest.mark.slow
+def test_long_span_accept_path():
+    """The H/F + E-compat degeneracy gates must PASS genuine wide-baseline
+    pairs, not only reject false ones (VERDICT r4 #6; docs/global_sfm.md
+    round-5 section). On a multi-depth occluded arc the 2x rematch of
+    failed long-span probes recovers pairs whose implied relative
+    rotation matches ground truth — the accept path in the actual
+    product matching stage, not a unit fixture."""
+    from tests.render import occluded_scene_planes
+    from recon3d_tpu.ops.epipolar import (
+        essential_from_fundamental, recover_pose,
+    )
+    import jax.numpy as jnp
+
+    n, arc = 24, 0.026
+    scene = render_views(
+        n_views=n, image_size=(96, 128), arc_step=arc,
+        arc_offset=arc * n / 2, planes=occluded_scene_planes(),
+    )
+    cam = Camera.from_matrix(scene["K"])
+    iset = image_set_from_arrays(scene["images"], cam)
+    pipe = SfMPipeline(config=ReconstructionConfig.fast())
+    pipe.set_image_set(iset)
+    pipe.extract_features()
+    pipe.match_image_pairs()
+
+    w = pipe.config.sfm.match_window
+    aux = [
+        ((i, j), m) for (i, j), m in pipe.matches.items()
+        if m.get("aux") and j - i >= 2 * w
+    ]
+    assert len(aux) >= 2, (
+        f"no accepted long-span edges: {sorted(pipe.matches)}"
+    )
+    # every accepted edge's implied relative rotation must be genuine
+    K = jnp.asarray(scene["K"])
+    for (i, j), m in aux:
+        E = essential_from_fundamental(
+            jnp.asarray(np.asarray(m["F"], np.float32)), K
+        )
+        x1 = pipe.kp_xy[i][m["idx1"]]
+        x2 = pipe.kp_xy[j][m["idx2"]]
+        cap = 1 << int(np.ceil(np.log2(max(8, len(x1)))))
+        x1p = np.zeros((cap, 2), np.float32)
+        x2p = np.zeros((cap, 2), np.float32)
+        mk = np.zeros(cap, np.float32)
+        x1p[: len(x1)] = x1
+        x2p[: len(x2)] = x2
+        mk[: len(x1)] = 1
+        R_est, _, _ = recover_pose(
+            E, jnp.asarray(x1p), jnp.asarray(x2p), K, jnp.asarray(mk)
+        )
+        err = rotation_angle_deg(
+            np.asarray(R_est), scene["Rs"][j] @ scene["Rs"][i].T
+        )
+        assert err < 12.0, f"accepted edge ({i},{j}) is false: {err:.1f} deg"
