@@ -98,6 +98,8 @@ def train(
     epochs_per_round: int = 16,
     adapt_steps: int = 0,
     texture_frac: float = 0.5,
+    scene_frac: float = 0.0,
+    init_weights: str | None = None,
 ):
     """Round-based training: each round generates `batches_per_round` fresh
     compact batches on the host, uploads them once, and runs
@@ -122,6 +124,13 @@ def train(
     model = SuperPointNet()
     key = jax.random.PRNGKey(seed)
     params = model.init(key, jnp.zeros((1, hw[0], hw[1], 1), jnp.float32))
+    if init_weights:
+        # Warm start (e.g. the bundled checkpoint) so an adaptation-only
+        # run (steps=0, adapt_steps>0) fine-tunes instead of re-learning
+        # the corner detector from scratch.
+        from recon3d_tpu.neural.weights import load_params_npz
+
+        params = load_params_npz(init_weights, params)
     # Adam with a short warmup then cosine decay: the detector head's 65-way
     # softmax saturates with a fixed 1e-3 on this small corpus.
     sched = optax.warmup_cosine_decay_schedule(
@@ -167,17 +176,36 @@ def train(
         # docs/neural_quality.md for the measured generalization gap).
         if adapt_steps:
             from recon3d_tpu.neural.superpoint import scores_from_logits
-            from recon3d_tpu.neural.synthetic import render_texture
+            from recon3d_tpu.neural.synthetic import (
+                render_texture, render_view_pair,
+            )
 
             score_fn = jax.jit(
                 lambda p, x: scores_from_logits(model.apply(p, x)[0])
             )
+
+            def _scene_image(r):
+                # An in-domain SCENE frame: multi-plane 3D render with
+                # perspective texture, shading, and depth discontinuities —
+                # the appearance family the SfM eval actually measures
+                # repeatability on (docs/neural_quality.md round 5: the
+                # detector, not the matcher, binds neural quality; the
+                # texture-only adaptation corpus never showed it a scene).
+                sc = render_view_pair(r, hw)
+                return sc["img_a"] if r.uniform() < 0.5 else sc["img_b"]
+
             done_a = 0
             while done_a < adapt_steps:
                 data = []
                 for _ in range(batches_per_round):
-                    if rng.uniform() < texture_frac:
+                    u = rng.uniform()
+                    if u < scene_frac:
+                        imgs = [_scene_image(rng) for _ in range(batch)]
+                    elif u < scene_frac + texture_frac:
                         imgs = [render_texture(rng, hw) for _ in range(batch)]
+                    else:
+                        imgs = None
+                    if imgs is not None:
                         corners = pseudo_label_images(
                             score_fn, state.params, imgs, rng, hw
                         )
@@ -475,6 +503,12 @@ def main(argv=None):
     p.add_argument("--view-pair-frac", type=float, default=0.0,
                    help="fraction of lightglue training pairs rendered as "
                    "true 3D view pairs (parallax + occlusion, depth GT)")
+    p.add_argument("--scene-frac", type=float, default=0.0,
+                   help="fraction of adaptation batches (superpoint) drawn "
+                   "from in-domain multi-plane SCENE renders")
+    p.add_argument("--init-weights", default=None,
+                   help="warm-start superpoint training from this .npz "
+                   "(use with --steps 0 for adaptation-only fine-tune)")
     p.add_argument("--superpoint", default=None,
                    help="frozen SuperPoint checkpoint for lightglue "
                    "training (default: the bundled one)")
@@ -507,6 +541,7 @@ def main(argv=None):
             batches_per_round=a.batches_per_round,
             epochs_per_round=a.epochs_per_round,
             adapt_steps=a.adapt_steps, texture_frac=a.texture_frac,
+            scene_frac=a.scene_frac, init_weights=a.init_weights,
         )
 
 
