@@ -174,10 +174,38 @@ def eval_crop_precision(gray, crop=(384, 512), shift=(64, 48), tol=2.0):
     return ours, cv
 
 
+def _sp_extract(gray: np.ndarray):
+    """Bundled-SuperPoint keypoints on a real photo (pipeline settings)."""
+    global _SP_MATCHER
+    from recon3d_tpu.neural.matcher import NeuralMatcher
+
+    if "_SP_MATCHER" not in globals():
+        _SP_MATCHER = NeuralMatcher()
+    f = _SP_MATCHER.extract(gray.astype(np.float32))
+    xy = np.asarray(f.xy)[np.asarray(f.valid)]
+    return f, xy
+
+
+def eval_superpoint(gray: np.ndarray, tol=2.0):
+    """Keypoint count + warp repeatability of the bundled SuperPoint on
+    real sensor data (the round-5 scene-adapted detector)."""
+    _, xy = _sp_extract(gray)
+    rows = {"keypoints": len(xy)}
+    for name, H in _warps(gray.shape).items():
+        warped = _warp_image(gray, H)
+        _, xy_b = _sp_extract(warped)
+        r, n = _repeatability(xy, xy_b, H, gray.shape, tol)
+        rows[f"repeatability {name}"] = f"{r:.3f} ({n} kps)"
+    return rows
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None,
                     help="write a markdown report to this path")
+    ap.add_argument("--superpoint", action="store_true",
+                    help="also evaluate the bundled SuperPoint detector "
+                         "on the real photos")
     args = ap.parse_args(argv)
 
     missing = [p for p in REF_IMAGES if not p.exists()]
@@ -236,6 +264,12 @@ def main(argv=None) -> int:
         emit(f"| crop-pair match precision @2px | {p_o:.3f} "
              f"({n_o} verified) | {p_c:.3f} ({n_c} verified) |")
         emit()
+        if args.superpoint:
+            sp = eval_superpoint(gray)
+            emit(f"Bundled SuperPoint on {name}: " + ", ".join(
+                f"{k}={v}" for k, v in sp.items()
+            ))
+            emit()
 
     if args.out:
         Path(args.out).write_text("\n".join(lines) + "\n")
